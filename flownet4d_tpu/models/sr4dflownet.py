@@ -1,0 +1,187 @@
+"""SR4DFlowNet — the 4D flow super-resolution residual network, in Flax.
+
+Architecture contract (reference: /root/reference/src/Network/SR4DFlowNet.py:3-51):
+
+- two input branches: "phase" = (u, v, w) velocities and "pc" =
+  (pcmr, mag, speed) where speed = |velocity|, mag = |magnitudes| and
+  pcmr = mag * speed (SR4DFlowNet.py:10-15)
+- each branch: 2x [conv3d k3 c64, symmetric pad, ReLU]
+- concat -> conv3d k1 ReLU -> conv3d k3 ReLU
+- ``low_resblock`` residual blocks at LR (default 8)
+- trilinear upsample x res_increase (align_corners=True)
+- ``hi_resblock`` residual blocks at HR (default 4)
+- three separate heads (u/v/w): conv3d k3 c64 ReLU -> conv3d k3 c1 linear
+  (the v2.0 "linear final activation" that permits phase aliasing)
+
+TPU-native choices: the six (B,D,H,W,1) component volumes are carried as
+two stacked (B,D,H,W,3) tensors, all convs run channels-last on the MXU,
+and the upsampler is the matmul formulation in ``ops.upsample``. Compute
+dtype is configurable (bfloat16 for throughput); parameters stay float32.
+
+Residual-block rematerialisation (``remat_blocks``) trades FLOPs for HBM
+via ``jax.checkpoint`` so deep HR stacks fit large batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.conv import conv3d_symmetric_pad, leaky_relu
+from ..ops.upsample import upsample3d
+
+
+@dataclasses.dataclass(frozen=True)
+class SR4DFlowNetConfig:
+    """Hyperparameters, defaults mirroring the reference (trainer.py:35-39)."""
+
+    res_increase: int = 2
+    low_resblock: int = 8
+    hi_resblock: int = 4
+    channels: int = 64  # hard-pinned to 64 in the reference (SR4DFlowNet.py:8)
+    dtype: Any = jnp.float32  # compute dtype; params are always float32
+    remat_blocks: bool = False
+    # MXU precision: float32 compute uses HIGHEST (multi-pass, matches the
+    # f32 reference); bfloat16 throughput mode uses the single-pass DEFAULT.
+    precision: Any = None
+
+    def resolved_precision(self):
+        if self.precision is not None:
+            return self.precision
+        return jax.lax.Precision.HIGHEST if self.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+class Conv3D(nn.Module):
+    """Conv3D with reference padding semantics and Keras-compatible init.
+
+    Keras Conv3D defaults: glorot_uniform kernel, zero bias
+    (SR4DFlowNet.py:104 uses defaults). Kernel layout DHWIO.
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    padding: str = "SYMMETRIC"
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return conv3d_symmetric_pad(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias,
+            padding=self.padding,
+            precision=self.precision,
+        )
+
+
+class ResBlock(nn.Module):
+    """conv(k3, no bias) -> LeakyReLU(0.2) -> conv(k3, no bias) -> +x -> LeakyReLU.
+
+    scale=1 as in resnet_block (SR4DFlowNet.py:111-120).
+    """
+
+    channels: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
+                     precision=self.precision, name="conv1")(x)
+        tmp = leaky_relu(tmp, 0.2)
+        tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
+                     precision=self.precision, name="conv2")(tmp)
+        return leaky_relu(x + tmp, 0.2)
+
+
+class SR4DFlowNet(nn.Module):
+    config: SR4DFlowNetConfig = SR4DFlowNetConfig()
+
+    @nn.compact
+    def __call__(self, velocity: jax.Array, magnitude: jax.Array) -> jax.Array:
+        """velocity, magnitude: (B, D, H, W, 3) -> SR velocity (B, rD, rH, rW, 3)."""
+        cfg = self.config
+        c = cfg.channels
+        dt = cfg.dtype
+        prec = cfg.resolved_precision()
+
+        velocity = velocity.astype(dt)
+        magnitude = magnitude.astype(dt)
+
+        # Derived "pc" features (SR4DFlowNet.py:10-15).
+        speed = jnp.sqrt(jnp.sum(velocity * velocity, axis=-1, keepdims=True))
+        mag = jnp.sqrt(jnp.sum(magnitude * magnitude, axis=-1, keepdims=True))
+        pcmr = mag * speed
+
+        phase = velocity
+        pc = jnp.concatenate([pcmr, mag, speed], axis=-1)
+
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="pc1")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="pc2")(pc))
+
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="phase1")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="phase2")(phase))
+
+        x = jnp.concatenate([phase, pc], axis=-1)
+        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, name="fuse1")(x))
+        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="fuse2")(x))
+
+        block = ResBlock
+        if cfg.remat_blocks:
+            block = nn.remat(ResBlock)
+
+        for i in range(cfg.low_resblock):
+            x = block(c, dtype=dt, precision=prec, name=f"low_res_block_{i}")(x)
+
+        x = upsample3d(x, cfg.res_increase, precision=jax.lax.Precision.HIGHEST)
+
+        for i in range(cfg.hi_resblock):
+            x = block(c, dtype=dt, precision=prec, name=f"hi_res_block_{i}")(x)
+
+        heads = []
+        for comp in ("u", "v", "w"):
+            h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name=f"{comp}_head1")(x))
+            h = Conv3D(1, 3, dtype=dt, precision=prec, name=f"{comp}_head2")(h)  # linear output
+            heads.append(h)
+
+        out = jnp.concatenate(heads, axis=-1)
+        return out.astype(jnp.float32)
+
+    def forward_components(self, u, v, w, u_mag, v_mag, w_mag):
+        """Reference-shaped API: six (B,D,H,W,1) inputs (TrainerController.py:38-48)."""
+        velocity = jnp.concatenate([u, v, w], axis=-1)
+        magnitude = jnp.concatenate([u_mag, v_mag, w_mag], axis=-1)
+        return self(velocity, magnitude)
+
+
+def l2_regularization(params, weight: float = 5e-7) -> jax.Array:
+    """L2 penalty over all conv kernels: weight * sum(kernel**2).
+
+    Matches tf.keras.regularizers.l2(5e-7) attached to every Conv3D kernel
+    (SR4DFlowNet.py:99) and summed by calculate_regularizer_loss
+    (TrainerController.py:129-141). Biases carry no regularizer.
+    """
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "kernel":
+            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return weight * total

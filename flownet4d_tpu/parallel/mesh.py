@@ -1,0 +1,49 @@
+"""Device mesh and sharding policy.
+
+The reference is strictly single-device (no DP/TP/PP anywhere — see
+SURVEY.md §2). The TPU rebuild scales by **data parallelism over the
+batch axis of patches**: a 1-D ``jax.sharding.Mesh`` over all chips, batch
+leaves sharded on axis 0, parameters and optimizer state replicated. With
+``jax.jit`` over these shardings XLA inserts the gradient ``psum`` over
+ICI automatically; nothing in the step function mentions collectives.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+and the same code spans slices (DCN between hosts, ICI within).
+
+The model is ~3.5M params, so TP/PP are intentionally out of scope
+(SURVEY.md §2); the inference-time analogue of sequence parallelism is
+sharding the *patch grid* of a large volume over the same mesh
+(inference/predictor.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard axis 0 (the batch) across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """device_put every array leaf with its batch axis sharded.
+
+    Scalar/1-D leaves (venc, weights, rotation codes) shard on axis 0 too —
+    they are all batch-major.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
