@@ -7,10 +7,15 @@ concurrently running benchmark). Must run before jax initialises.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU even when the environment preconfigures a TPU backend.
+# The site customization (sitecustomize.py) registers the TPU plugin before
+# conftest runs and re-pins JAX_PLATFORMS, so env vars are too late here —
+# jax.config flags take precedence instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Keep TF (used only as a golden reference in parity tests) off any accelerator.
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")

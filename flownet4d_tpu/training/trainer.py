@@ -70,6 +70,7 @@ class TrainerController:
         models_dir: str = "models",
         seed: int = 0,
         l2_weight: float = 5e-7,
+        channels: int = 64,  # the reference pins 64; overridable for tests/scaling
     ):
         self.div_weight = 0.0  # divergence loss disabled in v2.0 (ref :23)
         self.non_fluid_weight = 1.0  # ref :24
@@ -86,6 +87,7 @@ class TrainerController:
             res_increase=res_increase,
             low_resblock=low_resblock,
             hi_resblock=hi_resblock,
+            channels=channels,
             dtype=compute_dtype,
         )
         self.model = SR4DFlowNet(self.config)

@@ -1,0 +1,139 @@
+"""Training step semantics + multi-device data parallelism (8 virtual CPUs)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_DATA_DIR
+from flownet4d_tpu.data import PatchLoader, load_indexes, TrainingBatch
+from flownet4d_tpu.training import TrainerController
+from flownet4d_tpu.parallel import make_mesh
+
+
+def _tiny_controller(models_dir, batch_mesh=None, **kw):
+    # channels=16 keeps CPU conv FLOPs tiny; the math is channel-agnostic.
+    return TrainerController(
+        8, 2, 1e-3, False, "tiny", low_resblock=1, hi_resblock=1,
+        models_dir=str(models_dir), mesh=batch_mesh, channels=16, **kw,
+    )
+
+
+def _random_batch(b=8, p=8, r=2, seed=0, weights=None):
+    rng = np.random.default_rng(seed)
+    P = p * r
+    return TrainingBatch(
+        lr=rng.uniform(-1, 1, (b, p, p, p, 3)).astype(np.float32),
+        mag=rng.uniform(0, 1, (b, p, p, p, 3)).astype(np.float32),
+        hr=rng.uniform(-1, 1, (b, P, P, P, 3)).astype(np.float32),
+        venc=np.full((b,), 1.5, np.float32),
+        mask=(rng.uniform(size=(b, P, P, P)) > 0.5).astype(np.float32),
+        rot_case=np.zeros((b,), np.int32),
+        weight=np.ones((b,), np.float32) if weights is None else np.asarray(weights, np.float32),
+    )
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_train_step_reduces_loss(tmp_path):
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]))
+    batch = _random_batch()
+    losses = []
+    for _ in range(8):
+        tc.loss_metrics.reset()
+        tc.train_step(batch)
+        losses.append(tc.loss_metrics["train_loss"].result())
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_padding_samples_do_not_affect_gradients(tmp_path):
+    """A zero-weight padded sample must produce the same update as the
+    unpadded batch (TF gradient-of-sum semantics with masking)."""
+    mesh1 = make_mesh(jax.devices()[:1])
+    tc_a = _tiny_controller(tmp_path / "a", mesh1, seed=7)
+    tc_b = _tiny_controller(tmp_path / "b", mesh1, seed=7)
+
+    full = _random_batch(b=4, seed=3)
+    padded_arrays = jax.tree_util.tree_map(
+        lambda x: np.concatenate([x, np.zeros_like(x[:2])]), full
+    )
+    padded = padded_arrays._replace(weight=np.asarray([1, 1, 1, 1, 0, 0], np.float32))
+
+    tc_a.train_step(full)
+    tc_b.train_step(padded)
+
+    pa = jax.device_get(tc_a.state.params)
+    pb = jax.device_get(tc_b.state.params)
+    # atol covers accumulation-order noise: the padded batch sums 6 terms
+    # (2 of them zero) where the unpadded batch sums 4.
+    for la, lb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(la, lb, atol=5e-6)
+
+
+def test_multi_device_matches_single_device(tmp_path):
+    """DP over 8 devices must produce the same update as 1 device."""
+    tc1 = _tiny_controller(tmp_path / "one", make_mesh(jax.devices()[:1]), seed=11)
+    tc8 = _tiny_controller(tmp_path / "eight", make_mesh(), seed=11)
+
+    batch = _random_batch(b=8, seed=5)
+    tc1.train_step(batch)
+    tc8.train_step(batch)
+
+    m1 = tc1.loss_metrics.results()
+    m8 = tc8.loss_metrics.results()
+    assert m1["train_loss"] == pytest.approx(m8["train_loss"], rel=1e-5)
+
+    p1 = jax.device_get(tc1.state.params)
+    p8 = jax.device_get(tc8.state.params)
+    for l1, l8 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(l1, l8, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]))
+    tc.train_step(_random_batch())
+    tc.model_dir = str(tmp_path / "run")
+    tc.model_path = str(tmp_path / "run" / "tiny")
+    import os
+
+    os.makedirs(tc.model_dir, exist_ok=True)
+    tc.save_best_model()
+
+    tc2 = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]), seed=99)
+    tc2.restore_model(tc.model_dir, "tiny-best.ckpt")
+    p1 = jax.device_get(tc.state.params)
+    p2 = jax.device_get(tc2.state.params)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(l1, l2)
+
+    # .h5 weight file round trip too
+    from flownet4d_tpu.training.checkpoint import load_weights_h5
+
+    params_h5 = load_weights_h5(f"{tc.model_path}-best.h5", p1)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(params_h5)):
+        np.testing.assert_allclose(l1, np.asarray(l2))
+
+
+def test_end_to_end_epoch_on_reference_data(tmp_path):
+    """One real epoch: loader -> train -> val -> quicksave artifacts."""
+    rows = load_indexes(f"{REFERENCE_DATA_DIR}/train.csv")
+    loader = PatchLoader(REFERENCE_DATA_DIR, 8, 2, 8)
+    trainset = loader.initialize_dataset(rows[:16], shuffle=True, seed=0)
+    valset = loader.initialize_dataset(rows[16:24], shuffle=False)
+
+    tc = TrainerController(
+        8, 2, 1e-3, True, "e2e", low_resblock=1, hi_resblock=1,
+        models_dir=str(tmp_path), mesh=make_mesh(), channels=16,
+    )
+    tc.init_model_dir()
+    tc.train_network(trainset, valset, n_epoch=1, testset=valset)
+
+    import os
+
+    assert os.path.isfile(os.path.join(tc.model_dir, "loss.csv"))
+    assert os.path.isfile(os.path.join(tc.model_dir, "quicksave_e2e.h5"))
+    assert os.path.isdir(f"{tc.model_path}-best.ckpt")
+    assert tc.loss_metrics["val_loss"].result() > 0

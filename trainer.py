@@ -1,0 +1,110 @@
+"""Training entry point.
+
+Mirrors the reference trainer script's workflow and shipped defaults
+(/root/reference/src/trainer.py:12-73): load train/validate(/benchmark)
+patch-index CSVs, build three input pipelines (train + val shuffled,
+benchmark unshuffled for stable quicksaves), construct the trainer,
+optionally restore, train.
+
+The reference is configured by editing constants; those constants are kept
+below with identical names and defaults, and every one can also be
+overridden from the command line (see --help).
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from flownet4d_tpu.data import PatchLoader, load_indexes
+from flownet4d_tpu.training import TrainerController
+
+
+def main():
+    # ---- Reference defaults (trainer.py:13-39) ----
+    data_dir = "data"
+    QUICKSAVE = True
+    restore = False
+    model_dir = None
+    model_file = None
+
+    initial_learning_rate = 2e-4
+    epochs = 60
+    batch_size = 20
+    mask_threshold = 0.6
+
+    network_name = "4DFlowNet"
+    patch_size = 16
+    res_increase = 2
+    low_resblock = 8
+    hi_resblock = 4
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default=data_dir)
+    p.add_argument("--training-file", default=None, help="default: <data-dir>/train.csv")
+    p.add_argument("--validate-file", default=None, help="default: <data-dir>/validate.csv")
+    p.add_argument("--benchmark-file", default=None, help="default: <data-dir>/benchmark.csv")
+    p.add_argument("--no-quicksave", action="store_true")
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--model-dir", default=model_dir)
+    p.add_argument("--model-file", default=model_file)
+    p.add_argument("--initial-learning-rate", type=float, default=initial_learning_rate)
+    p.add_argument("--epochs", type=int, default=epochs)
+    p.add_argument("--batch-size", type=int, default=batch_size)
+    p.add_argument("--mask-threshold", type=float, default=mask_threshold)
+    p.add_argument("--network-name", default=network_name)
+    p.add_argument("--patch-size", type=int, default=patch_size)
+    p.add_argument("--res-increase", type=int, default=res_increase)
+    p.add_argument("--low-resblock", type=int, default=low_resblock)
+    p.add_argument("--hi-resblock", type=int, default=hi_resblock)
+    p.add_argument("--models-dir", default="models", help="where model run dirs are created")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
+    p.add_argument("--n-parallel", type=int, default=4, help="loader worker threads")
+    args = p.parse_args()
+
+    training_file = args.training_file or f"{args.data_dir}/train.csv"
+    validate_file = args.validate_file or f"{args.data_dir}/validate.csv"
+    benchmark_file = args.benchmark_file or f"{args.data_dir}/benchmark.csv"
+    quicksave = QUICKSAVE and not args.no_quicksave
+
+    trainset = load_indexes(training_file)
+    valset = load_indexes(validate_file)
+
+    # Input pipelines: train/val shuffled, benchmark unshuffled (ref :47-61)
+    z = PatchLoader(args.data_dir, args.patch_size, args.res_increase,
+                    args.batch_size, args.mask_threshold)
+    trainset = z.initialize_dataset(trainset, shuffle=True, n_parallel=args.n_parallel)
+
+    valdh = PatchLoader(args.data_dir, args.patch_size, args.res_increase,
+                        args.batch_size, args.mask_threshold)
+    valset = valdh.initialize_dataset(valset, shuffle=True, n_parallel=args.n_parallel)
+
+    testset = None
+    if quicksave and benchmark_file is not None:
+        ph = PatchLoader(args.data_dir, args.patch_size, args.res_increase,
+                         args.batch_size, args.mask_threshold)
+        testset = ph.initialize_dataset(load_indexes(benchmark_file), shuffle=False)
+
+    print(f"4DFlowNet Patch {args.patch_size}, lr {args.initial_learning_rate}, "
+          f"batch {args.batch_size}")
+    network = TrainerController(
+        args.patch_size,
+        args.res_increase,
+        args.initial_learning_rate,
+        quicksave,
+        args.network_name,
+        args.low_resblock,
+        args.hi_resblock,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        models_dir=args.models_dir,
+    )
+    network.init_model_dir()
+
+    if args.restore:
+        print(f"Restoring model {args.model_file}...")
+        network.restore_model(args.model_dir, args.model_file)
+
+    network.train_network(trainset, valset, n_epoch=args.epochs, testset=testset)
+
+
+if __name__ == "__main__":
+    main()
