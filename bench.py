@@ -1,0 +1,86 @@
+"""Headline benchmark: SR training throughput (patches/sec/chip) at the
+paper-default config — patch 24^3 -> 48^3, x2 SR, 8 low/4 hi resblocks,
+batch 8 (BASELINE.json configs[1]).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup over the TF-CPU reference implementation
+measured in this environment (BASELINE_MEASURED.json; see
+scripts/measure_tf_baseline.py for the protocol). Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flownet4d_tpu.training import TrainerController
+    from flownet4d_tpu.data.patch_loader import TrainingBatch
+
+    patch, res, batch = 24, 2, 8
+    low_rb, hi_rb = 8, 4
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    log(f"devices: {jax.devices()}")
+    tc = TrainerController(
+        patch, res, 2e-4, False, "bench", low_rb, hi_rb,
+        compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
+    )
+
+    rng = np.random.default_rng(0)
+    P = patch * res
+    batch_data = TrainingBatch(
+        lr=rng.uniform(-1, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+        mag=rng.uniform(0, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+        hr=rng.uniform(-1, 1, (batch, P, P, P, 3)).astype("float32"),
+        venc=np.full((batch,), 1.5, "float32"),
+        mask=(rng.uniform(size=(batch, P, P, P)) > 0.5).astype("float32"),
+        rot_case=(np.arange(batch) % 10).astype("int32"),
+        weight=np.ones((batch,), "float32"),
+    )
+
+    # Warmup (compile) + sync.
+    t0 = time.time()
+    tc.train_step(batch_data)
+    jax.block_until_ready(tc.state.params)
+    log(f"compile+first step: {time.time()-t0:.1f}s ({dtype_name})")
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.time()
+    for _ in range(n_steps):
+        tc.train_step(batch_data)
+    jax.block_until_ready(tc.state.params)
+    dt = time.time() - t0
+    pps = batch * n_steps / dt
+    log(f"{n_steps} steps in {dt:.2f}s -> {pps:.2f} patches/s "
+        f"({dt/n_steps*1000:.1f} ms/step)")
+
+    baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f).get("tf_cpu_train_patches_per_sec")
+
+    result = {
+        "metric": f"train patches/sec/chip (24^3->48^3 x2 SR, batch 8, 8/4 resblocks, {dtype_name})",
+        "value": round(pps, 2),
+        "unit": "patches/sec",
+        "vs_baseline": round(pps / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,8 @@ class TrainerController:
         seed: int = 0,
         l2_weight: float = 5e-7,
         channels: int = 64,  # the reference pins 64; overridable for tests/scaling
+        remat: bool = True,  # rematerialise resblocks: ~1.3x FLOPs for ~10x less
+        #                      activation HBM — required for f32 batch 8 at 24^3->48^3
     ):
         self.div_weight = 0.0  # divergence loss disabled in v2.0 (ref :23)
         self.non_fluid_weight = 1.0  # ref :24
@@ -89,6 +91,7 @@ class TrainerController:
             hi_resblock=hi_resblock,
             channels=channels,
             dtype=compute_dtype,
+            remat_blocks=remat,
         )
         self.model = SR4DFlowNet(self.config)
 
