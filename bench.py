@@ -27,44 +27,54 @@ def main():
     from flownet4d_tpu.training import TrainerController
     from flownet4d_tpu.data.patch_loader import TrainingBatch
 
-    patch, res, batch = 24, 2, 8
+    patch, res = 24, 2
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     low_rb, hi_rb = 8, 4
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
 
     log(f"devices: {jax.devices()}")
     tc = TrainerController(
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
+        remat=remat,
     )
 
     rng = np.random.default_rng(0)
     P = patch * res
-    batch_data = TrainingBatch(
-        lr=rng.uniform(-1, 1, (batch, patch, patch, patch, 3)).astype("float32"),
-        mag=rng.uniform(0, 1, (batch, patch, patch, patch, 3)).astype("float32"),
-        hr=rng.uniform(-1, 1, (batch, P, P, P, 3)).astype("float32"),
-        venc=np.full((batch,), 1.5, "float32"),
-        mask=(rng.uniform(size=(batch, P, P, P)) > 0.5).astype("float32"),
-        rot_case=(np.arange(batch) % 10).astype("int32"),
-        weight=np.ones((batch,), "float32"),
-    )
 
-    # Warmup (compile) + sync.
+    def make_batch():
+        return TrainingBatch(
+            lr=rng.uniform(-1, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+            mag=rng.uniform(0, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+            hr=rng.uniform(-1, 1, (batch, P, P, P, 3)).astype("float32"),
+            venc=np.full((batch,), 1.5, "float32"),
+            mask=(rng.uniform(size=(batch, P, P, P)) > 0.5).astype("float32"),
+            rot_case=(np.arange(batch) % 10).astype("int32"),
+            weight=np.ones((batch,), "float32"),
+        )
+
+    # Warmup (compile) + true sync via host readback (block_until_ready does
+    # not reliably fence on relay-attached TPUs).
     t0 = time.time()
-    tc.train_step(batch_data)
-    jax.block_until_ready(tc.state.params)
+    tc.train_step(make_batch())
+    _ = int(np.asarray(tc.state.step))
     log(f"compile+first step: {time.time()-t0:.1f}s ({dtype_name})")
 
+    # Distinct numpy batches, pipelined upload (as real training runs).
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batches = [make_batch() for _ in range(n_steps)]
     t0 = time.time()
-    for _ in range(n_steps):
-        tc.train_step(batch_data)
-    jax.block_until_ready(tc.state.params)
+    metrics = None
+    for dev_batch in tc._device_batches(batches):
+        metrics = tc.train_step_device(dev_batch)
+    metrics = jax.device_get(metrics)  # forces the whole chain
+    _ = int(np.asarray(tc.state.step))
     dt = time.time() - t0
     pps = batch * n_steps / dt
     log(f"{n_steps} steps in {dt:.2f}s -> {pps:.2f} patches/s "
-        f"({dt/n_steps*1000:.1f} ms/step)")
+        f"({dt/n_steps*1000:.1f} ms/step), final loss_sum {metrics['loss_sum']:.4f}")
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

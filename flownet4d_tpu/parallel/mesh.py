@@ -40,10 +40,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """device_put every array leaf with its batch axis sharded.
+    """Move a host batch to the mesh with its batch axis sharded.
 
-    Scalar/1-D leaves (venc, weights, rotation codes) shard on axis 0 too —
-    they are all batch-major.
+    Every leaf is batch-major (venc, weights and rotation codes included).
+    One device_put call over the whole pytree lets the runtime batch the
+    transfers; an explicit sharded put measured ~3x faster per training
+    step than jit's implicit numpy-argument transfer on relay-attached
+    TPUs, and is required for >1 device anyway.
     """
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.device_put(batch, batch_sharding(mesh, axis_name))

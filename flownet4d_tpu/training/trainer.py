@@ -42,6 +42,7 @@ from ..ops.rotate import batched_rotate_sample
 from ..parallel.mesh import make_mesh, shard_batch, replicated_sharding
 from ..io.h5 import save_predictions
 from ..utils.logging import log_to_file, calculate_time_elapsed, SummaryLogger
+from ..data.packed import PackedBatch, pack_batch, unpack_batch
 from .metrics import MetricSet
 from . import checkpoint as ckpt
 
@@ -73,6 +74,8 @@ class TrainerController:
         channels: int = 64,  # the reference pins 64; overridable for tests/scaling
         remat: bool = True,  # rematerialise resblocks: ~1.3x FLOPs for ~10x less
         #                      activation HBM — required for f32 batch 8 at 24^3->48^3
+        packed_transfer: bool = True,  # f16/u8 wire format (see data/packed.py);
+        #                                set False for bit-exact f32 input parity
     ):
         self.div_weight = 0.0  # divergence loss disabled in v2.0 (ref :23)
         self.non_fluid_weight = 1.0  # ref :24
@@ -84,6 +87,7 @@ class TrainerController:
         self.learning_rate = initial_learning_rate
         self.models_dir = models_dir
         self.l2_weight = l2_weight
+        self.packed_transfer = packed_transfer
 
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
@@ -147,6 +151,8 @@ class TrainerController:
         return loss, mse, div, rel_err, pred
 
     def _step(self, state: TrainState, batch, train: bool = True):
+        if isinstance(batch, PackedBatch):
+            batch = unpack_batch(batch, self.patch_size, self.res_increase)
         w = batch.weight
         n_real = jnp.sum(w)
 
@@ -178,14 +184,42 @@ class TrainerController:
     # ------------------------------------------------------------------ #
     # Public step API
 
+    def _device_batches(self, dataset):
+        """Upload batches with one-batch lookahead.
+
+        The transfer for batch i+1 is enqueued before the consumer runs
+        step i, letting async dispatch overlap traffic with compute.
+        (A background upload thread deadlocks on relay-attached TPUs, so
+        the lookahead stays on the main thread.)
+        """
+        it = iter(dataset)
+        try:
+            cur = self._put(next(it))
+        except StopIteration:
+            return
+        for nxt in it:
+            nxt_dev = self._put(nxt)
+            yield cur
+            cur = nxt_dev
+        yield cur
+
+    def _put(self, batch):
+        """Host batch -> device, via the packed wire format when enabled."""
+        if self.packed_transfer:
+            batch = pack_batch(batch)
+        return shard_batch(batch, self.mesh)
+
     def train_step(self, batch) -> None:
-        batch = shard_batch(batch, self.mesh)
-        self.state, metrics = self._train_step(self.state, batch, train=True)
+        self.state, metrics = self._train_step(self.state, self._put(batch), train=True)
         self._update_metrics(metrics, "train")
 
+    def train_step_device(self, dev_batch):
+        """Step on an already-uploaded batch; returns device metrics."""
+        self.state, metrics = self._train_step(self.state, dev_batch, train=True)
+        return metrics
+
     def test_step(self, batch):
-        batch = shard_batch(batch, self.mesh)
-        _, metrics, pred = self._eval_step(self.state, batch)
+        _, metrics, pred = self._eval_step(self.state, self._put(batch))
         self._update_metrics(metrics, "val")
         return pred
 
@@ -257,8 +291,9 @@ class TrainerController:
             self.loss_metrics.reset()
             start_loop = time.time()
 
-            for i, batch in enumerate(trainset):
-                self.train_step(batch)
+            for i, batch in enumerate(self._device_batches(trainset)):
+                metrics = self.train_step_device(batch)
+                self._update_metrics(metrics, "train")
                 msg = (
                     f"Epoch {epoch+1} Train batch {i+1}/{total_batch_train} | "
                     f"loss: {self.loss_metrics['train_loss'].result():.5f} "
@@ -358,8 +393,7 @@ class TrainerController:
     def quicksave(self, testset, epoch_nr: int):
         """Benchmark-batch prediction snapshot (TrainerController.py:415-454)."""
         batch = next(iter(testset))
-        sharded = shard_batch(batch, self.mesh)
-        _, metrics, preds = self._eval_step(self.state, sharded)
+        _, metrics, preds = self._eval_step(self.state, self._put(batch))
         metrics = jax.device_get(metrics)
         preds = np.asarray(jax.device_get(preds))
 
