@@ -20,7 +20,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_inference():
+    """BENCH_MODE=inference: full-volume sec/frame on data/example_data.h5
+    (predictor defaults: patch 24, res x2, batch 8, 8/4 resblocks)."""
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from flownet4d_tpu.inference import VolumePredictor
+    from flownet4d_tpu.data.volume import VolumeDataset
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    predictor = VolumePredictor(
+        24, 2, 8,
+        compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        transfer_dtype=np.float16,
+    )
+    dataset = VolumeDataset()
+    path = "/root/reference/data/example_data.h5"
+
+    dataset.load_vectorfield(path, 0)
+    predictor.predict_volume(dataset)  # warmup/compile
+    n = int(os.environ.get("BENCH_STEPS", "5"))
+    t0 = time.time()
+    for _ in range(n):
+        dataset.load_vectorfield(path, 0)
+        comps = predictor.predict_volume(dataset)
+    spf = (time.time() - t0) / n
+    log(f"inference: {spf:.3f} s/frame ({dtype_name}), out shape {comps[0].shape}")
+
+    baseline = None
+    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.isfile(bp):
+        with open(bp) as f:
+            baseline = json.load(f).get("tf_cpu_inference_sec_per_frame")
+    print(json.dumps({
+        "metric": f"full-volume inference sec/frame (42x38x36 -> 84x76x72, {dtype_name})",
+        "value": round(spf, 3),
+        "unit": "sec/frame",
+        "vs_baseline": round(baseline / spf, 2) if baseline else None,
+    }), flush=True)
+
+
 def main():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -30,15 +76,21 @@ def main():
     patch, res = 24, 2
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     low_rb, hi_rb = 8, 4
-    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    # bfloat16 compute (f32 params/accumulation) is the documented TPU-native
+    # training mode; BENCH_DTYPE=float32 measures the strict-parity mode.
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # Fused multi-step scan measured slower than single-step dispatch on the
+    # relay-attached chip (566 vs 738 ms/step at K=10); default to 1.
+    scan_steps = int(os.environ.get("BENCH_SCAN", "1"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     log(f"devices: {jax.devices()}")
     tc = TrainerController(
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
-        remat=remat,
+        remat=remat, steps_per_dispatch=scan_steps, use_pallas=use_pallas,
     )
 
     rng = np.random.default_rng(0)
@@ -57,18 +109,28 @@ def main():
 
     # Warmup (compile) + true sync via host readback (block_until_ready does
     # not reliably fence on relay-attached TPUs).
-    t0 = time.time()
-    tc.train_step(make_batch())
-    _ = int(np.asarray(tc.state.step))
-    log(f"compile+first step: {time.time()-t0:.1f}s ({dtype_name})")
+    n_steps = int(os.environ.get("BENCH_STEPS", str(max(20, 2 * scan_steps))))
 
-    # Distinct numpy batches, pipelined upload (as real training runs).
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    def run_steps(batches):
+        metrics = None
+        if scan_steps > 1:
+            for g, _n in tc._device_groups(batches):
+                tc.state, metrics = tc._train_scan(tc.state, g)
+        else:
+            for dev_batch in tc._device_batches(batches):
+                tc.state, metrics = tc._train_step(tc.state, dev_batch, train=True)
+        return metrics
+
+    t0 = time.time()
+    run_steps([make_batch() for _ in range(scan_steps)])
+    _ = int(np.asarray(tc.state.step))
+    log(f"compile+first dispatch ({scan_steps} fused steps): "
+        f"{time.time()-t0:.1f}s ({dtype_name})")
+
+    # Distinct numpy batches, pipelined upload — the train_network hot loop.
     batches = [make_batch() for _ in range(n_steps)]
     t0 = time.time()
-    metrics = None
-    for dev_batch in tc._device_batches(batches):
-        metrics = tc.train_step_device(dev_batch)
+    metrics = run_steps(batches)
     metrics = jax.device_get(metrics)  # forces the whole chain
     _ = int(np.asarray(tc.state.step))
     dt = time.time() - t0
@@ -84,7 +146,7 @@ def main():
             baseline = json.load(f).get("tf_cpu_train_patches_per_sec")
 
     result = {
-        "metric": f"train patches/sec/chip (24^3->48^3 x2 SR, batch 8, 8/4 resblocks, {dtype_name})",
+        "metric": f"train patches/sec/chip (24^3->48^3 x2 SR, batch {batch}, 8/4 resblocks, {dtype_name})",
         "value": round(pps, 2),
         "unit": "patches/sec",
         "vs_baseline": round(pps / baseline, 2) if baseline else None,
@@ -93,4 +155,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "inference":
+        bench_inference()
+    else:
+        main()

@@ -43,6 +43,9 @@ class VolumePredictor:
         mesh=None,
         params=None,
         seed: int = 0,
+        transfer_dtype=np.float32,  # np.float16 halves host->device bytes;
+        #                             quantisation (~5e-4 rel) is below MR noise
+        use_pallas: bool = False,
     ):
         self.patch_size = patch_size
         self.res_increase = res_increase
@@ -51,11 +54,13 @@ class VolumePredictor:
         # Round the static batch up to a multiple of the mesh size.
         self.batch_size = max(batch_size, ((batch_size + n_dev - 1) // n_dev) * n_dev)
 
+        self.transfer_dtype = transfer_dtype
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
             low_resblock=low_resblock,
             hi_resblock=hi_resblock,
             dtype=compute_dtype,
+            use_pallas=use_pallas,
         )
         self.model = SR4DFlowNet(self.config)
 
@@ -107,8 +112,8 @@ class VolumePredictor:
                 pad = b - (stop - start)
                 vel = np.concatenate([vel, np.zeros((pad,) + vel.shape[1:], vel.dtype)])
                 mag = np.concatenate([mag, np.zeros((pad,) + mag.shape[1:], mag.dtype)])
-            vel = jax.device_put(vel, self._batch_sharding)
-            mag = jax.device_put(mag, self._batch_sharding)
+            vel = jax.device_put(vel.astype(self.transfer_dtype), self._batch_sharding)
+            mag = jax.device_put(mag.astype(self.transfer_dtype), self._batch_sharding)
             pred = self._forward(self.params, vel, mag)
             out[start:stop] = np.asarray(jax.device_get(pred))[: stop - start]
         return out

@@ -45,6 +45,10 @@ class SR4DFlowNetConfig:
     channels: int = 64  # hard-pinned to 64 in the reference (SR4DFlowNet.py:8)
     dtype: Any = jnp.float32  # compute dtype; params are always float32
     remat_blocks: bool = False
+    # Fused Pallas residual blocks (ops/pallas_resblock.py): one kernel per
+    # block, conv1 intermediate never leaves VMEM, backward recomputes via
+    # XLA (so remat_blocks is redundant for the blocks when this is on).
+    use_pallas: bool = False
     # MXU precision: float32 compute uses HIGHEST (multi-pass, matches the
     # f32 reference); bfloat16 throughput mode uses the single-pass DEFAULT.
     precision: Any = None
@@ -92,18 +96,41 @@ class Conv3D(nn.Module):
         )
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel holder (param path <name>/kernel)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.glorot_uniform(), self.shape, jnp.float32)
+
+
 class ResBlock(nn.Module):
     """conv(k3, no bias) -> LeakyReLU(0.2) -> conv(k3, no bias) -> +x -> LeakyReLU.
 
-    scale=1 as in resnet_block (SR4DFlowNet.py:111-120).
+    scale=1 as in resnet_block (SR4DFlowNet.py:111-120). With
+    ``use_pallas`` the whole block runs as one fused TPU kernel.
     """
 
     channels: int
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.use_pallas:
+            from ..ops.pallas_resblock import fused_resblock
+
+            c = self.channels
+            # _Kernel children keep the param tree identical to the XLA path
+            # (conv1/kernel, conv2/kernel), so checkpoints interchange freely.
+            k1 = _Kernel((3, 3, 3, x.shape[-1], c), name="conv1")()
+            k2 = _Kernel((3, 3, 3, c, c), name="conv2")()
+            return fused_resblock(
+                x.astype(self.dtype), k1.astype(self.dtype), k2.astype(self.dtype)
+            )
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
                      precision=self.precision, name="conv1")(x)
         tmp = leaky_relu(tmp, 0.2)
@@ -145,16 +172,20 @@ class SR4DFlowNet(nn.Module):
         x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="fuse2")(x))
 
         block = ResBlock
-        if cfg.remat_blocks:
+        if cfg.remat_blocks and not cfg.use_pallas:
+            # Pallas blocks already recompute in backward (custom_vjp saves
+            # only block inputs); extra remat would run the forward twice.
             block = nn.remat(ResBlock)
 
         for i in range(cfg.low_resblock):
-            x = block(c, dtype=dt, precision=prec, name=f"low_res_block_{i}")(x)
+            x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
+                      name=f"low_res_block_{i}")(x)
 
         x = upsample3d(x, cfg.res_increase, precision=jax.lax.Precision.HIGHEST)
 
         for i in range(cfg.hi_resblock):
-            x = block(c, dtype=dt, precision=prec, name=f"hi_res_block_{i}")(x)
+            x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
+                      name=f"hi_res_block_{i}")(x)
 
         heads = []
         for comp in ("u", "v", "w"):

@@ -23,6 +23,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multi_host(coordinator_address=None, num_processes=None, process_id=None):
+    """Join a multi-host TPU slice (call before make_mesh on every host).
+
+    Thin wrapper over ``jax.distributed.initialize``: afterwards
+    ``jax.devices()`` spans all hosts, the same 1-D data mesh covers the
+    slice, and XLA routes gradient reductions over ICI within a slice and
+    DCN across slices. Arguments default to TPU auto-detection.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:

@@ -76,6 +76,14 @@ class TrainerController:
         #                      activation HBM — required for f32 batch 8 at 24^3->48^3
         packed_transfer: bool = True,  # f16/u8 wire format (see data/packed.py);
         #                                set False for bit-exact f32 input parity
+        steps_per_dispatch: int = 1,  # K>1 fuses K optimizer steps into one
+        #                               lax.scan dispatch: K batches upload as one
+        #                               super-batch and run without host round trips
+        use_pallas: bool = False,  # fused Pallas residual blocks
+        lr_schedule=None,  # optional optax schedule (step -> lr); the reference
+        #                    keeps a fixed lr (adjust_learning_rate is commented
+        #                    out at TrainerController.py:280)
+        profile_dir: str | None = None,  # jax.profiler trace output directory
     ):
         self.div_weight = 0.0  # divergence loss disabled in v2.0 (ref :23)
         self.non_fluid_weight = 1.0  # ref :24
@@ -88,6 +96,7 @@ class TrainerController:
         self.models_dir = models_dir
         self.l2_weight = l2_weight
         self.packed_transfer = packed_transfer
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
 
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
@@ -96,13 +105,19 @@ class TrainerController:
             channels=channels,
             dtype=compute_dtype,
             remat_blocks=remat,
+            use_pallas=use_pallas,
         )
         self.model = SR4DFlowNet(self.config)
 
         self.mesh = mesh if mesh is not None else make_mesh()
 
         # TF keras Adam defaults: beta1 0.9, beta2 0.999, epsilon 1e-7.
-        self.optimizer = optax.adam(self.learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+        self.lr_schedule = lr_schedule
+        self.profile_dir = profile_dir
+        self.optimizer = optax.adam(
+            lr_schedule if lr_schedule is not None else self.learning_rate,
+            b1=0.9, b2=0.999, eps=1e-7,
+        )
 
         # Init params with a dummy LR-shaped batch.
         p = patch_size
@@ -119,6 +134,7 @@ class TrainerController:
 
         self._train_step = jax.jit(self._step, static_argnames=("train",), donate_argnums=0)
         self._eval_step = jax.jit(partial(self._step, train=False))
+        self._train_scan = jax.jit(self._multi_step, donate_argnums=0)
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"SR4DFlowNet: {n_params/1e6:.2f}M params, "
@@ -168,6 +184,7 @@ class TrainerController:
                 "acc_sum": jnp.sum(rel_err * w),
                 "l2": l2,
                 "count": n_real,
+                "steps": jnp.asarray(1.0, jnp.float32),
             }
             return scalar, (metrics, pred)
 
@@ -175,11 +192,32 @@ class TrainerController:
             grads, (metrics, _) = jax.grad(objective, has_aux=True)(state.params)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(params, opt_state, state.step + 1)
+            # All-padding batches (zero-weight scan fillers) must be inert:
+            # zero grads still move Adam (momentum decay), so gate the update.
+            is_real = n_real > 0
+            sel = lambda a, b: jnp.where(is_real, a, b)
+            params = jax.tree_util.tree_map(sel, params, state.params)
+            opt_state = jax.tree_util.tree_map(sel, opt_state, state.opt_state)
+            new_state = TrainState(params, opt_state, state.step + is_real.astype(jnp.int32))
             return new_state, metrics
         else:
             _, (metrics, pred) = objective(state.params)
             return state, metrics, pred
+
+    def _multi_step(self, state: TrainState, group):
+        """K fused optimizer steps over a (K, ...)-stacked batch group.
+
+        One XLA dispatch executes K sequential train steps; metric sums
+        accumulate on device. Zero-weight padding groups are inert (all
+        denominators carry +1 epsilons; padded samples have weight 0).
+        """
+        def body(st, batch):
+            new_st, metrics = self._step(st, batch, train=True)
+            return new_st, metrics
+
+        state, stacked = jax.lax.scan(body, state, group)
+        metrics = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), stacked)
+        return state, metrics
 
     # ------------------------------------------------------------------ #
     # Public step API
@@ -209,6 +247,40 @@ class TrainerController:
             batch = pack_batch(batch)
         return shard_batch(batch, self.mesh)
 
+    def _device_groups(self, dataset):
+        """Group K host batches into one (K, ...) super-batch per dispatch,
+        uploaded with one-group lookahead. Short trailing groups are padded
+        with zero-weight batches so jit sees one static shape."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        K = self.steps_per_dispatch
+        group_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+        def put_group(batches):
+            n_real = len(batches)
+            packed = [pack_batch(b) if self.packed_transfer else b for b in batches]
+            while len(packed) < K:
+                packed.append(jax.tree_util.tree_map(np.zeros_like, packed[0]))
+            stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *packed)
+            return jax.device_put(stacked, group_sharding), n_real
+
+        it = iter(dataset)
+        cur = None
+        while True:
+            chunk = []
+            for batch in it:
+                chunk.append(batch)
+                if len(chunk) == K:
+                    break
+            if not chunk:
+                if cur is not None:
+                    yield cur
+                return
+            nxt = put_group(chunk)
+            if cur is not None:
+                yield cur
+            cur = nxt
+
     def train_step(self, batch) -> None:
         self.state, metrics = self._train_step(self.state, self._put(batch), train=True)
         self._update_metrics(metrics, "train")
@@ -231,7 +303,8 @@ class TrainerController:
         self.loss_metrics[f"{metric_set}_div"].update(metrics["div_sum"], count)
         self.loss_metrics[f"{metric_set}_accuracy"].update(metrics["acc_sum"], count)
         if metric_set == "train":
-            self.loss_metrics["l2_reg_loss"].update(metrics["l2"], 1.0)
+            # 'l2' is summed over the fused steps of a dispatch group.
+            self.loss_metrics["l2_reg_loss"].update(metrics["l2"], float(metrics.get("steps", 1.0)))
 
     # ------------------------------------------------------------------ #
     # Model directory / logging (TrainerController.py:158-206)
@@ -287,15 +360,30 @@ class TrainerController:
         total_batch_train = len(trainset)
         total_batch_val = len(valset)
 
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+
         for epoch in range(n_epoch):
             self.loss_metrics.reset()
             start_loop = time.time()
 
-            for i, batch in enumerate(self._device_batches(trainset)):
-                metrics = self.train_step_device(batch)
+            if self.steps_per_dispatch > 1:
+                batch_iter = (
+                    (g, n) for g, n in self._device_groups(trainset)
+                )
+            else:
+                batch_iter = ((b, 1) for b in self._device_batches(trainset))
+
+            i = 0
+            for dev_batch, n_batches in batch_iter:
+                if self.steps_per_dispatch > 1:
+                    self.state, metrics = self._train_scan(self.state, dev_batch)
+                else:
+                    self.state, metrics = self._train_step(self.state, dev_batch, train=True)
                 self._update_metrics(metrics, "train")
+                i += n_batches
                 msg = (
-                    f"Epoch {epoch+1} Train batch {i+1}/{total_batch_train} | "
+                    f"Epoch {epoch+1} Train batch {i}/{total_batch_train} | "
                     f"loss: {self.loss_metrics['train_loss'].result():.5f} "
                     f"({self.loss_metrics['train_accuracy'].result():.1f} %) - "
                     f"{time.time()-start_loop:.1f} secs"
@@ -324,7 +412,7 @@ class TrainerController:
             loss_str = ",".join(
                 f"{m:.5f}" for m in self.loss_metrics.results().values()
             )
-            log_line = f"{epoch+1},{loss_str},{self.learning_rate:.6f},{time.time()-start_loop:.1f}"
+            log_line = f"{epoch+1},{loss_str},{self.current_lr():.6f},{time.time()-start_loop:.1f}"
 
             self._update_summary_logging(epoch)
 
@@ -341,6 +429,10 @@ class TrainerController:
 
             print(message)
             log_to_file(self.logfile, log_line + "\n")
+            self.save_latest_model(epoch + 1)
+
+        if self.profile_dir:
+            jax.profiler.stop_trace()
 
         hrs, mins, secs = calculate_time_elapsed(start_time)
         message = f"\nTraining {self.network_name} completed! - name: {self.unique_model_name}"
@@ -349,6 +441,20 @@ class TrainerController:
         message += "\n==================== END TRAINING ================="
         log_to_file(self.logfile, message)
         print(message)
+
+    def current_lr(self, step: int | None = None) -> float:
+        if self.lr_schedule is None:
+            return self.learning_rate
+        if step is None:
+            step = int(np.asarray(jax.device_get(self.state.step)))
+        return float(self.lr_schedule(step))
+
+    def save_latest_model(self, epoch: int) -> None:
+        """Every-10-epochs checkpoint (reference defines this but never calls
+        it, TrainerController.py:78-82; we call it from the epoch loop)."""
+        if epoch > 0 and epoch % 10 == 0:
+            ckpt.save_train_state(f"{self.model_path}-latest.ckpt", self.state)
+            print(f"Saving current model - {time.ctime()}")
 
     # ------------------------------------------------------------------ #
     # Checkpointing (TrainerController.py:347-394)
@@ -380,7 +486,7 @@ class TrainerController:
 
     def _update_summary_logging(self, epoch: int) -> None:
         res = self.loss_metrics.results()
-        self.train_writer.scalar(f"{self.network_name}/learning_rate", self.learning_rate, epoch)
+        self.train_writer.scalar(f"{self.network_name}/learning_rate", self.current_lr(), epoch)
         for key, val in res.items():
             if key.startswith("train_"):
                 self.train_writer.scalar(f"{self.network_name}/{key[6:]}", val, epoch)

@@ -15,6 +15,9 @@ from flownet4d_tpu.inference import VolumePredictor
 
 
 def main():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # ---- Reference defaults (predictor.py:32-47) ----
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", default="data")

@@ -45,6 +45,18 @@ def test_upsample_linear_ramp_exact():
     np.testing.assert_allclose(y[0, :, 0, 0, 0], expected, atol=1e-5)
 
 
+def test_upsample_res4():
+    """configs[2]: 4x upsampling — endpoints and shape contract."""
+    n = 5
+    ramp = np.arange(n, dtype=np.float32)
+    x = jnp.asarray(np.broadcast_to(ramp[None, :, None, None, None], (1, n, 2, 2, 1)).copy())
+    y = np.asarray(upsample3d(x, 4))
+    assert y.shape == (1, 20, 8, 8, 1)
+    m = 4 * n
+    expected = np.arange(m) * (n - 1) / (m - 1)
+    np.testing.assert_allclose(y[0, :, 0, 0, 0], expected, atol=1e-5)
+
+
 @pytest.mark.golden
 def test_upsample_matches_tf_resize_bilinear():
     """Golden parity with tf.compat.v1.image.resize_bilinear(align_corners=True)

@@ -20,6 +20,9 @@ from flownet4d_tpu.training import TrainerController
 
 
 def main():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # ---- Reference defaults (trainer.py:13-39) ----
     data_dir = "data"
     QUICKSAVE = True
