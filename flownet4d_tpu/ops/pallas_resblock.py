@@ -61,22 +61,40 @@ def _conv_tile(win, kernel, out_shape):
 
     win: (d+2, h+2, w+2, Cin), kernel: (3, 3, 3, Cin, Cout) ->
     (d, h, w, Cout) float32.
+
+    Sequential fori_loop accumulation: an unrolled 27-way sum keeps all
+    shifted-window temporaries live at once and blows the Mosaic VMEM
+    stack (57 MB observed at 24^3 tiles); the loop bounds liveness to one
+    patch.
     """
     d, h, w, cout = out_shape
-    acc = jnp.zeros((d, h, w, cout), jnp.float32)
-    for dz in range(3):
-        for dy in range(3):
-            for dx in range(3):
-                patch = lax.slice(
-                    win, (dz, dy, dx, 0), (dz + d, dy + h, dx + w, win.shape[-1])
-                )
-                acc = acc + lax.dot_general(
-                    patch,
-                    kernel[dz, dy, dx],
-                    dimension_numbers=(((3,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-    return acc
+    cin = win.shape[-1]
+
+    def tap(dz, dy, dx):
+        patch = lax.slice(win, (dz, dy, dx, 0), (dz + d, dy + h, dx + w, cin))
+        return lax.dot_general(
+            patch,
+            kernel[dz, dy, dx],
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(acc_ref):
+        # Sequential stores into a scratch accumulator: each tap's shifted
+        # window dies at its store, so the Mosaic stack holds one patch at
+        # a time (a pure 27-way value sum kept all of them live and OOM'd
+        # the VMEM stack at 57 MB). Mosaic lacks dynamic_slice on values,
+        # hence the unrolled static offsets.
+        acc_ref[:] = tap(0, 0, 0)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    if dz == dy == dx == 0:
+                        continue
+                    acc_ref[:] = acc_ref[:] + tap(dz, dy, dx)
+        return acc_ref[:]
+
+    return pl.run_scoped(body, pltpu.VMEM((d, h, w, cout), jnp.float32))
 
 
 def _resblock_kernel(
@@ -144,24 +162,29 @@ def _pick_tile(n: int, target: int) -> int:
 def _fused_resblock_impl(x, k1, k2, alpha: float = 0.2, interpret: bool = False):
     n, d, h, w, c = x.shape
     dtype = x.dtype
-    # Mosaic requires the DMA'd window's sublane (second-minor) dim to be a
-    # multiple of 8: pad W+4 up to the next multiple (far-side junk unused).
+    # Mosaic constraints on strided HBM views (the halo-window DMA slices the
+    # major dims): the sublane (second-minor) dim must be a multiple of 8 and
+    # the lane (minor) dim a multiple of 128. Pad W+4 up to the sublane
+    # multiple (far-side junk is never read) and zero-pad channels to 128 —
+    # free on the 128-wide MXU, and zero channels stay zero through both
+    # convs and LeakyReLU.
     wa = -(-(w + 4) // 8) * 8
+    ca = -(-c // 128) * 128
     xp = jnp.pad(x, [(0, 0), (2, 2), (2, 2), (2, 2), (0, 0)], mode="symmetric")
-    if wa > w + 4:
-        xp = jnp.pad(xp, [(0, 0), (0, 0), (0, 0), (0, wa - (w + 4)), (0, 0)])
-    k1 = k1.astype(dtype)
-    k2 = k2.astype(dtype)
+    xp = jnp.pad(xp, [(0, 0), (0, 0), (0, 0), (0, wa - (w + 4)), (0, ca - c)])
+    kp = [(0, 0)] * 3 + [(0, ca - c), (0, ca - c)]
+    k1 = jnp.pad(k1.astype(dtype), kp)
+    k2 = jnp.pad(k2.astype(dtype), kp)
 
-    td = _pick_tile(d, 8)
-    th = _pick_tile(h, 16)
+    td = _pick_tile(d, 4)
+    th = _pick_tile(h, 8)
 
     grid = (n, d // td, h // th)
     kernel = functools.partial(
-        _resblock_kernel, td=td, th=th, w=w, c=c, alpha=alpha
+        _resblock_kernel, td=td, th=th, w=w, c=ca, alpha=alpha
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -170,17 +193,18 @@ def _fused_resblock_impl(x, k1, k2, alpha: float = 0.2, interpret: bool = False)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # k2
         ],
         out_specs=pl.BlockSpec(
-            (1, td, th, w, c),
+            (1, td, th, w, ca),
             lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, w, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, w, ca), dtype),
         scratch_shapes=[
-            pltpu.VMEM((td + 4, th + 4, wa, c), dtype),
+            pltpu.VMEM((td + 4, th + 4, wa, ca), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, k1, k2)
+    return out[..., :c] if ca != c else out
 
 
 def _fused_or_fallback(x, k1, k2, alpha, interpret):
