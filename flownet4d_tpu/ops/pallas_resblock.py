@@ -202,6 +202,12 @@ def _fused_resblock_impl(x, k1, k2, alpha: float = 0.2, interpret: bool = False)
             pltpu.VMEM((td + 4, th + 4, wa, ca), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's conservative stack accounting sums the relayout
+            # temporaries of the 27 shifted-window taps; the default 16M
+            # scoped budget is too tight even though live usage is ~5M.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, k1, k2)
     return out[..., :c] if ca != c else out

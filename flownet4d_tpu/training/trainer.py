@@ -84,9 +84,11 @@ class TrainerController:
         #                    keeps a fixed lr (adjust_learning_rate is commented
         #                    out at TrainerController.py:280)
         profile_dir: str | None = None,  # jax.profiler trace output directory
+        div_weight: float = 0.0,  # divergence-loss weight (dormant in reference)
+        non_fluid_weight: float = 1.0,
     ):
-        self.div_weight = 0.0  # divergence loss disabled in v2.0 (ref :23)
-        self.non_fluid_weight = 1.0  # ref :24
+        self.div_weight = div_weight  # disabled (0) in the reference v2.0 (ref :23)
+        self.non_fluid_weight = non_fluid_weight  # ref :24
         self.res_increase = res_increase
         self.patch_size = patch_size
         self.QUICKSAVE_ENABLED = quicksave_enable
@@ -505,6 +507,27 @@ class TrainerController:
 
         real = batch.weight > 0
         preds = preds[real]
+
+        # Predictions correspond to the *rotated* inputs (augmentation runs
+        # on device); rotate the saved ground truth to match, as the
+        # reference's host pipeline implicitly does (TrainerController.py:421-452
+        # saves the already-rotated batch).
+        from ..data.patch_loader import rotate_patch_host
+
+        lr = batch.lr[real].copy()
+        hr = batch.hr[real].copy()
+        mask = batch.mask[real].copy()
+        for i, case in enumerate(batch.rot_case[real]):
+            if case:
+                lr[i] = rotate_patch_host(lr[i], int(case), "phase")
+                hr[i] = rotate_patch_host(hr[i], int(case), "phase")
+                mask[i] = rotate_patch_host(mask[i], int(case), "mask")
+        batch = batch._replace(
+            lr=lr, hr=hr, mask=mask,
+            venc=batch.venc[real], weight=batch.weight[real],
+            mag=batch.mag[real], rot_case=batch.rot_case[real],
+        )
+        real = slice(None)
 
         fname = f"quicksave_{self.network_name}.h5"
         save_predictions(self.model_dir, fname, "epoch", np.asarray([epoch_nr]), compression="gzip")
