@@ -100,8 +100,18 @@ def import_keras_weights(path: str, params_template, low_resblock: int, hi_resbl
     flat = {}
     with h5py.File(path, "r") as hf:
         root = hf["model_weights"] if "model_weights" in hf else hf
-        for idx, (our_name, has_bias) in enumerate(order):
-            keras_name = "conv3d" if idx == 0 else f"conv3d_{idx}"
+        # Keras names Conv3D layers conv3d[_N] with a *process-global*
+        # counter, so the first layer is not necessarily 'conv3d' — sort
+        # whatever conv3d names the file actually contains.
+        keras_names = sorted(
+            (k for k in root if k == "conv3d" or k.startswith("conv3d_")),
+            key=lambda n: 0 if n == "conv3d" else int(n.rsplit("_", 1)[1]),
+        )
+        assert len(keras_names) == len(order), (
+            f"{len(keras_names)} Conv3D layers in {path}, expected {len(order)} "
+            f"for {low_resblock} low / {hi_resblock} hi resblocks"
+        )
+        for keras_name, (our_name, has_bias) in zip(keras_names, order):
             grp = root[keras_name]
             # weight datasets may be nested one level (keras h5 layout)
             while not any(k.startswith("kernel") for k in grp.keys()):
