@@ -128,15 +128,20 @@ def main():
         f"{time.time()-t0:.1f}s ({dtype_name})")
 
     # Distinct numpy batches, pipelined upload — the train_network hot loop.
-    batches = [make_batch() for _ in range(n_steps)]
-    t0 = time.time()
-    metrics = run_steps(batches)
-    metrics = jax.device_get(metrics)  # forces the whole chain
-    _ = int(np.asarray(tc.state.step))
-    dt = time.time() - t0
-    pps = batch * n_steps / dt
-    log(f"{n_steps} steps in {dt:.2f}s -> {pps:.2f} patches/s "
-        f"({dt/n_steps*1000:.1f} ms/step), final loss_sum {metrics['loss_sum']:.4f}")
+    # Relay-attached chips show 2-3x run-to-run variance; report the median
+    # of 3 measurement windows.
+    rates = []
+    for window in range(3):
+        batches = [make_batch() for _ in range(n_steps)]
+        t0 = time.time()
+        metrics = run_steps(batches)
+        metrics = jax.device_get(metrics)  # forces the whole chain
+        _ = int(np.asarray(tc.state.step))
+        dt = time.time() - t0
+        rates.append(batch * n_steps / dt)
+        log(f"window {window+1}: {n_steps} steps in {dt:.2f}s -> {rates[-1]:.2f} "
+            f"patches/s ({dt/n_steps*1000:.1f} ms/step), loss_sum {metrics['loss_sum']:.4f}")
+    pps = float(np.median(rates))
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -62,6 +62,17 @@ def main():
     p.add_argument("--models-dir", default="models", help="where model run dirs are created")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
     p.add_argument("--n-parallel", type=int, default=4, help="loader worker threads")
+    p.add_argument("--no-packed-transfer", action="store_true",
+                   help="disable the f16/u8 wire format (bit-exact f32 inputs)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K optimizer steps into one lax.scan dispatch")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable residual-block rematerialization")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="experimental fused Pallas residual blocks")
+    p.add_argument("--div-weight", type=float, default=0.0,
+                   help="divergence loss weight (dormant in the reference)")
+    p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
     args = p.parse_args()
 
     training_file = args.training_file or f"{args.data_dir}/train.csv"
@@ -99,6 +110,12 @@ def main():
         args.hi_resblock,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         models_dir=args.models_dir,
+        packed_transfer=not args.no_packed_transfer,
+        steps_per_dispatch=args.steps_per_dispatch,
+        remat=not args.no_remat,
+        use_pallas=args.use_pallas,
+        div_weight=args.div_weight,
+        profile_dir=args.profile_dir,
     )
     network.init_model_dir()
 
