@@ -43,12 +43,16 @@ def bench_inference():
     dataset.load_vectorfield(path, 0)
     predictor.predict_volume(dataset)  # warmup/compile
     n = int(os.environ.get("BENCH_STEPS", "5"))
-    t0 = time.time()
-    for _ in range(n):
-        dataset.load_vectorfield(path, 0)
-        comps = predictor.predict_volume(dataset)
-    spf = (time.time() - t0) / n
-    log(f"inference: {spf:.3f} s/frame ({dtype_name}), out shape {comps[0].shape}")
+    rates = []
+    for _ in range(3):  # median-of-3 windows (relay variance)
+        t0 = time.time()
+        for _ in range(n):
+            dataset.load_vectorfield(path, 0)
+            comps = predictor.predict_volume(dataset)
+        rates.append((time.time() - t0) / n)
+    spf = float(np.median(rates))
+    log(f"inference windows {['%.3f' % r for r in rates]} s/frame ({dtype_name}), "
+        f"out shape {comps[0].shape}")
 
     baseline = None
     bp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")

@@ -153,6 +153,14 @@ class PatchLoader:
         hr_sl = np.index_exp[idx, x * r : x * r + P, y * r : y * r + P, z * r : z * r + P]
         mask_sl = np.index_exp[0, x * r : x * r + P, y * r : y * r + P, z * r : z * r + P]
 
+        vol_shape = self._cache.get(lr_path, self.lr_colnames[0]).shape[1:]
+        if any(s + p > dim for s, dim in zip((x, y, z), vol_shape)):
+            raise ValueError(
+                f"patch [{x}:{x+p}, {y}:{y+p}, {z}:{z+p}] exceeds LR volume "
+                f"{vol_shape} in {row.source} — was the patch-index CSV "
+                f"generated for a smaller patch_size than {p}?"
+            )
+
         lr = np.stack([self._cache.get(lr_path, c)[lr_sl] for c in self.lr_colnames], -1)
         mag = np.stack([self._cache.get(lr_path, c)[lr_sl] for c in self.mag_colnames], -1)
         hr = np.stack([self._cache.get(hr_path, c)[hr_sl] for c in self.hr_colnames], -1)
