@@ -56,6 +56,18 @@ def resblock_reference(x, k1, k2, alpha: float = 0.2):
     return leaky_relu(x + tmp, alpha)
 
 
+def _roll_sublane(x, shift: int):
+    """Shift x left by `shift` along axis 2 with a canonical result layout."""
+    if shift == 0:
+        return x
+    if _HAS_PALLAS and jax.default_backend() == "tpu":
+        try:
+            return pltpu.roll(x, -shift, axis=2)
+        except Exception:
+            pass
+    return jnp.roll(x, -shift, axis=2)
+
+
 def _conv_tile(win, kernel, out_shape):
     """3x3x3 VALID conv of a VMEM-resident window via 27 MXU dot_generals.
 
@@ -70,15 +82,21 @@ def _conv_tile(win, kernel, out_shape):
     d, h, w, cout = out_shape
     cin = win.shape[-1]
 
+    wa = win.shape[2]
+
     def plane(dz):
         # im2col for one depth tap: 9 shifted (dy, dx) windows stacked on
         # the channel axis -> one MXU GEMM with K = 9 * Cin (1152 at Cin=128),
         # far fewer ops than 27 small dots (Mosaic compile cost + MXU util).
-        cols = [
-            lax.slice(win, (dz, dy, dx, 0), (dz + d, dy + h, dx + w, cin))
-            for dy in range(3)
-            for dx in range(3)
-        ]
+        # The dx (sublane) shift uses pltpu.roll so every column has a
+        # canonical layout offset — Mosaic cannot concatenate values whose
+        # sublane offsets differ ("offset mismatch on non-concat dimension").
+        cols = []
+        for dy in range(3):
+            base = lax.slice(win, (dz, dy, 0, 0), (dz + d, dy + h, wa, cin))
+            for dx in range(3):
+                shifted = _roll_sublane(base, dx)
+                cols.append(lax.slice(shifted, (0, 0, 0, 0), (d, h, w, cin)))
         patch = jnp.concatenate(cols, axis=-1)  # (d, h, w, 9*cin)
         kmat = kernel[dz].reshape(9 * cin, cout)
         return lax.dot_general(
