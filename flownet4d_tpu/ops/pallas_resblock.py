@@ -68,7 +68,7 @@ def _roll_sublane(x, shift: int):
     return jnp.roll(x, -shift, axis=2)
 
 
-def _conv_tile(win, kernel, out_shape):
+def _conv_tile(win, kernel, out_shape, precision=None):
     """3x3x3 VALID conv of a VMEM-resident window via 27 MXU dot_generals.
 
     win: (d+2, h+2, w+2, Cin), kernel: (3, 3, 3, Cin, Cout) ->
@@ -104,6 +104,7 @@ def _conv_tile(win, kernel, out_shape):
             kmat,
             dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     def body(acc_ref):
@@ -118,7 +119,7 @@ def _conv_tile(win, kernel, out_shape):
 
 
 def _resblock_kernel(
-    x_hbm, k1_ref, k2_ref, out_ref, win_ref, sem, *, td, th, w, c, alpha
+    x_hbm, k1_ref, k2_ref, out_ref, win_ref, sem, *, td, th, w, c, alpha, precision
 ):
     b = pl.program_id(0)
     it = pl.program_id(1)
@@ -145,7 +146,7 @@ def _resblock_kernel(
     # reference's symmetric padding of conv1's *output* (resnet_block pads
     # before each conv, so conv2's halo is a mirror of conv1 outputs, not
     # conv1 evaluated outside the volume).
-    mid = _conv_tile(win, k1_ref[:], (td + 2, th + 2, w + 2, c))
+    mid = _conv_tile(win, k1_ref[:], (td + 2, th + 2, w + 2, c), precision)
     mid = jnp.where(mid >= 0, mid, alpha * mid).astype(dtype)
 
     # Mirror-duplicate boundary planes as value ops (sequential per-dim
@@ -162,7 +163,7 @@ def _resblock_kernel(
     mid = jnp.concatenate([mid[:, :, 1:2], mid[:, :, 1:w + 1], mid[:, :, w:w + 1]], axis=2)
 
     # conv2 on the (td, th, w) core.
-    out = _conv_tile(mid, k2_ref[:], (td, th, w, c))
+    out = _conv_tile(mid, k2_ref[:], (td, th, w, c), precision)
 
     # residual from the centre of the already-loaded window.
     res = lax.slice(win, (2, 2, 2, 0), (2 + td, 2 + th, 2 + w, c)).astype(jnp.float32)
@@ -200,8 +201,14 @@ def _fused_resblock_impl(x, k1, k2, alpha: float = 0.2, interpret: bool = False)
     th = _pick_tile(h, 8)
 
     grid = (n, d // td, h // th)
+    # float32 inputs need multi-pass MXU multiplies to match the XLA
+    # HIGHEST-precision reference path (single-pass bf16 drifts ~1e-2 over
+    # a 12-block model); bfloat16 throughput mode uses the native pass.
+    precision = (
+        lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
     kernel = functools.partial(
-        _resblock_kernel, td=td, th=th, w=w, c=ca, alpha=alpha
+        _resblock_kernel, td=td, th=th, w=w, c=ca, alpha=alpha, precision=precision
     )
 
     out = pl.pallas_call(
