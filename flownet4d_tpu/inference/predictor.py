@@ -84,13 +84,24 @@ class VolumePredictor:
                 path, host_params, self.config.low_resblock, self.config.hi_resblock
             )
         elif os.path.isdir(path):
-            # Orbax train-state checkpoint: pull out params.
+            # Orbax train-state checkpoint: pull out params. Try a matching
+            # template first; fall back to a raw restore so checkpoints
+            # written with a different optimizer/schedule state still load.
             from ..training.trainer import TrainState
             import optax
 
-            opt = optax.adam(1e-4)
-            template = TrainState(host_params, opt.init(host_params), jnp.zeros((), jnp.int32))
-            params = ckpt.restore_train_state(path, template).params
+            try:
+                opt = optax.adam(1e-4)
+                template = TrainState(host_params, opt.init(host_params), jnp.zeros((), jnp.int32))
+                params = ckpt.restore_train_state(path, template).params
+            except Exception:
+                import orbax.checkpoint as ocp
+
+                raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+                raw_params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw[0]
+                params = jax.tree_util.tree_map(
+                    lambda t, a: jnp.asarray(a, t.dtype), host_params, raw_params
+                )
         else:
             params = ckpt.load_weights_h5(path, host_params)
         self.params = jax.device_put(params, replicated_sharding(self.mesh))

@@ -1,7 +1,7 @@
 """Model-level checks for the fused Pallas residual-block path (interpret mode)."""
 
 import numpy as np
-import pytest
+
 import jax
 import jax.numpy as jnp
 

@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from flownet4d_tpu.ops.pallas_resblock import fused_resblock, resblock_reference
