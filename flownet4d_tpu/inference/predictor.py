@@ -46,6 +46,7 @@ class VolumePredictor:
         transfer_dtype=np.float32,  # np.float16 halves host->device bytes;
         #                             quantisation (~5e-4 rel) is below MR noise
         use_pallas: bool = False,
+        channels: int = 64,  # the reference pins 64; overridable for tests/scaling
     ):
         self.patch_size = patch_size
         self.res_increase = res_increase
@@ -59,6 +60,7 @@ class VolumePredictor:
             res_increase=res_increase,
             low_resblock=low_resblock,
             hi_resblock=hi_resblock,
+            channels=channels,
             dtype=compute_dtype,
             use_pallas=use_pallas,
         )

@@ -137,3 +137,25 @@ def test_end_to_end_epoch_on_reference_data(tmp_path):
     assert os.path.isfile(os.path.join(tc.model_dir, "quicksave_e2e.h5"))
     assert os.path.isdir(f"{tc.model_path}-best.ckpt")
     assert tc.loss_metrics["val_loss"].result() > 0
+
+
+def test_predictor_shards_patch_grid_over_mesh(tmp_path):
+    """Inference DP: the patch batch shards across all 8 devices and the
+    stitched output matches the single-device result."""
+    import jax.numpy as jnp
+    from flownet4d_tpu.inference import VolumePredictor
+    from flownet4d_tpu.data.volume import VolumeDataset
+    from conftest import REFERENCE_DATA_DIR
+
+    ds = VolumeDataset()
+    ds.load_vectorfield(f"{REFERENCE_DATA_DIR}/example_data.h5", 0)
+
+    one = VolumePredictor(12, 2, 8, 1, 1, mesh=make_mesh(jax.devices()[:1]),
+                          seed=3, channels=16)
+    eight = VolumePredictor(12, 2, 8, 1, 1, mesh=make_mesh(), seed=3, channels=16)
+
+    u1, v1, w1 = one.predict_volume(ds, round_small_values=False)
+    u8, v8, w8 = eight.predict_volume(ds, round_small_values=False)
+    np.testing.assert_allclose(u8, u1, atol=1e-5)
+    np.testing.assert_allclose(v8, v1, atol=1e-5)
+    np.testing.assert_allclose(w8, w1, atol=1e-5)
