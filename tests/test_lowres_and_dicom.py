@@ -1,0 +1,115 @@
+"""Synthetic LR dataset generation end-to-end + DICOM header parsing."""
+
+import numpy as np
+import h5py
+import pytest
+
+from flownet4d_tpu.prepare_data.lowres import generate_lowres_dataset
+from flownet4d_tpu.prepare_data.dicom import (
+    parse_venc_and_direction,
+    phase_to_velocity,
+    DicomData,
+)
+from flownet4d_tpu.io.h5 import append_to_h5
+
+
+def _make_hr(path, n_frames=2, size=16):
+    rng = np.random.default_rng(0)
+    mask = np.zeros((size,) * 3, np.float32)
+    mask[4:12, 4:12, 4:12] = 1.0
+    append_to_h5(path, "mask", mask, expand_dims=True)
+    for _ in range(n_frames):
+        for comp in "uvw":
+            vel = rng.uniform(-0.8, 0.8, (size,) * 3).astype(np.float32) * mask
+            append_to_h5(path, comp, vel, expand_dims=True)
+            append_to_h5(path, f"{comp}_max", float(np.abs(vel).max()), expand_dims=True)
+
+
+def test_generate_lowres_dataset_schema(tmp_path):
+    hr = str(tmp_path / "hr.h5")
+    lr = str(tmp_path / "lr.h5")
+    _make_hr(hr)
+
+    n = generate_lowres_dataset(hr, lr, downsample=2, seed=3, verbose=False)
+    assert n == 2
+
+    with h5py.File(lr) as h:
+        # same schema as the bundled example_data.h5
+        for col in ["u", "v", "w", "mag_u", "mag_v", "mag_w",
+                    "venc_u", "venc_v", "venc_w", "SNRdb"]:
+            assert h[col].shape[0] == 2, col
+        assert h["u"].shape[1:] == (8, 8, 8)  # halved each axis
+        assert h["mask"].shape == (1, 8, 8, 8)  # saved once, zoomed
+        # vencs come from the allowed set (or the 1.5 floor)
+        vencs = np.concatenate([h["venc_u"][:], h["venc_v"][:], h["venc_w"][:]])
+        allowed = {0.3, 0.6, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5}
+        assert set(np.round(vencs, 3)).issubset(allowed)
+        # velocities bounded by their venc (phase wrap limit)
+        for comp, venc_col in [("u", "venc_u"), ("v", "venc_v"), ("w", "venc_w")]:
+            assert np.abs(h[comp][:]).max() <= h[venc_col][:].max() + 1e-6
+
+
+def test_lowres_output_trains(tmp_path):
+    """The generated LR pairs feed the training pipeline unchanged."""
+    import shutil
+
+    hr = str(tmp_path / "hr.h5")
+    lr = str(tmp_path / "lr.h5")
+    _make_hr(hr)
+    generate_lowres_dataset(hr, lr, downsample=2, seed=4, verbose=False)
+
+    from flownet4d_tpu.data.patch_index import write_header
+    from flownet4d_tpu.prepare_data.patch_data import generate_random_patches
+    from flownet4d_tpu.data import PatchLoader, load_indexes
+
+    with h5py.File(lr) as h:
+        mask = (np.asarray(h["mask"][0]) >= 0.4).astype(np.int32)
+    csv = str(tmp_path / "train.csv")
+    write_header(csv)
+    generate_random_patches("lr.h5", "hr.h5", csv, 0, 4, mask, 6, 0.1, 1,
+                            apply_all_rotation=False, rng=np.random.default_rng(5))
+
+    loader = PatchLoader(str(tmp_path), 6, 2, 4)
+    batch = next(iter(loader.initialize_dataset(load_indexes(csv), shuffle=False)))
+    assert batch.lr.shape == (4, 6, 6, 6, 3)
+    assert batch.hr.shape == (4, 12, 12, 12, 3)
+    assert np.isfinite(batch.lr).all() and np.isfinite(batch.hr).all()
+
+
+def test_parse_venc_and_direction():
+    assert parse_venc_and_direction("fl3d1_v150fh") == (150, "fh")
+    assert parse_venc_and_direction("xyz_v80in") == (80, "in")
+    with pytest.raises(ValueError):
+        parse_venc_and_direction("no_venc_here")
+
+
+def test_phase_to_velocity_midpoint_and_range():
+    assert phase_to_velocity(np.float64(2048.0), 150) == 0.0
+    # full-scale phase 4096 -> +venc in m/s
+    assert phase_to_velocity(np.float64(4096.0), 150) == pytest.approx(1.5)
+    assert phase_to_velocity(np.float64(0.0), 150) == pytest.approx(-1.5)
+
+
+def test_dicom_data_direction_mapping(tmp_path):
+    d = DicomData()
+    phase = np.full((4, 4, 4), 3072.0)  # -> +0.5 * venc
+    mag = np.ones((4, 4, 4))
+    spacing = np.asarray([1.0, 1.0, 2.0])
+    d.add_series(phase, mag, "fl3d1_v100in", spacing)
+    d.add_series(phase, mag, "fl3d1_v100fh", spacing)
+    d.add_series(phase, mag, "fl3d1_v100rl", spacing)
+    d.determine_velocity_components(in_multiplier=1, fh_multiplier=-1, rl_multiplier=1)
+
+    np.testing.assert_allclose(d.u, 0.5)   # in -> u
+    np.testing.assert_allclose(d.v, -0.5)  # fh -> v with -1 multiplier
+    np.testing.assert_allclose(d.w, 0.5)   # rl -> w
+    assert d.u_venc == d.v_venc == d.w_venc == 1.0
+
+    out = str(tmp_path / "mri.h5")
+    d.save_dataset(out, trigger_time="12.5")
+    with h5py.File(out) as h:
+        assert set(h.keys()) == {
+            "triggerTimes", "u", "v", "w", "mag_u", "mag_v", "mag_w",
+            "venc_u", "venc_v", "venc_w", "dx",
+        }
+        assert float(h["triggerTimes"][0]) == 12.5
