@@ -131,6 +131,11 @@ def main():
     log(f"compile+first dispatch ({scan_steps} fused steps): "
         f"{time.time()-t0:.1f}s ({dtype_name})")
 
+    # Untimed warm-up: the relay's transfer/dispatch path takes ~1 window to
+    # reach steady state (measured 7 -> 18 -> 21 patches/s across windows).
+    run_steps([make_batch() for _ in range(10)])
+    _ = int(np.asarray(tc.state.step))
+
     # Distinct numpy batches, pipelined upload — the train_network hot loop.
     # Relay-attached chips show 2-3x run-to-run variance; report the median
     # of 3 measurement windows.

@@ -81,22 +81,24 @@ def _conv_tile(win, kernel, out_shape, precision=None):
     """
     d, h, w, cout = out_shape
     cin = win.shape[-1]
-
     wa = win.shape[2]
+
+    # Hoist the sublane (w) shifts: roll the whole window once per dx
+    # instead of once per (dy, dx) column — 2 rolls per conv, not 18.
+    # pltpu.roll also canonicalises the layout offset, which Mosaic
+    # requires for the channel-axis concat below ("offset mismatch on
+    # non-concat dimension" otherwise).
+    shifted_wins = [win, _roll_sublane(win, 1), _roll_sublane(win, 2)]
 
     def plane(dz):
         # im2col for one depth tap: 9 shifted (dy, dx) windows stacked on
         # the channel axis -> one MXU GEMM with K = 9 * Cin (1152 at Cin=128),
         # far fewer ops than 27 small dots (Mosaic compile cost + MXU util).
-        # The dx (sublane) shift uses pltpu.roll so every column has a
-        # canonical layout offset — Mosaic cannot concatenate values whose
-        # sublane offsets differ ("offset mismatch on non-concat dimension").
-        cols = []
-        for dy in range(3):
-            base = lax.slice(win, (dz, dy, 0, 0), (dz + d, dy + h, wa, cin))
-            for dx in range(3):
-                shifted = _roll_sublane(base, dx)
-                cols.append(lax.slice(shifted, (0, 0, 0, 0), (d, h, w, cin)))
+        cols = [
+            lax.slice(shifted_wins[dx], (dz, dy, 0, 0), (dz + d, dy + h, w, cin))
+            for dy in range(3)
+            for dx in range(3)
+        ]
         patch = jnp.concatenate(cols, axis=-1)  # (d, h, w, 9*cin)
         kmat = kernel[dz].reshape(9 * cin, cout)
         return lax.dot_general(
