@@ -236,23 +236,51 @@ class PatchDataset:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
         error_holder = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Put with a stop check so an abandoned iterator (consumer
+            gone, queue full) doesn't strand the producer on q.put forever
+            — that leaked a thread + pool + buffered batches per abandoned
+            iterator (e.g. quicksave's single-batch read)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.n_parallel) as pool:
                     for chunk in chunks:
-                        q.put(self.loader.assemble_batch(chunk, pool))
+                        if stop.is_set():
+                            return
+                        if not _put(self.loader.assemble_batch(chunk, pool)):
+                            return
             except BaseException as e:  # surface worker errors to the consumer
                 error_holder.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error_holder:
+                        raise error_holder[0]
+                    return
+                yield item
+        finally:
+            # Runs on exhaustion AND on GeneratorExit (abandoned iterator,
+            # generator.close()): release the producer and reap the thread.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

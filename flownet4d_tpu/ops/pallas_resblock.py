@@ -46,13 +46,22 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def resblock_reference(x, k1, k2, alpha: float = 0.2):
+def _resolve_precision(dtype, precision=None):
+    """Match the model's rule: f32 runs HIGHEST (multi-pass MXU; single-pass
+    DEFAULT drifts ~1e-2 over 12 blocks), bf16 runs the native pass."""
+    if precision is not None:
+        return precision
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+def resblock_reference(x, k1, k2, alpha: float = 0.2, precision=None):
     """Plain-XLA reference implementation (also the fallback path)."""
     from .conv import conv3d_symmetric_pad
 
-    tmp = conv3d_symmetric_pad(x, k1, None, padding="SYMMETRIC")
+    precision = _resolve_precision(x.dtype, precision)
+    tmp = conv3d_symmetric_pad(x, k1, None, padding="SYMMETRIC", precision=precision)
     tmp = leaky_relu(tmp, alpha)
-    tmp = conv3d_symmetric_pad(tmp, k2, None, padding="SYMMETRIC")
+    tmp = conv3d_symmetric_pad(tmp, k2, None, padding="SYMMETRIC", precision=precision)
     return leaky_relu(x + tmp, alpha)
 
 
@@ -203,12 +212,7 @@ def _fused_resblock_impl(x, k1, k2, alpha: float = 0.2, interpret: bool = False)
     th = _pick_tile(h, 8)
 
     grid = (n, d // td, h // th)
-    # float32 inputs need multi-pass MXU multiplies to match the XLA
-    # HIGHEST-precision reference path (single-pass bf16 drifts ~1e-2 over
-    # a 12-block model); bfloat16 throughput mode uses the native pass.
-    precision = (
-        lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
-    )
+    precision = _resolve_precision(dtype)
     kernel = functools.partial(
         _resblock_kernel, td=td, th=th, w=w, c=ca, alpha=alpha, precision=precision
     )
@@ -272,6 +276,9 @@ def _fused_fwd(x, k1, k2, alpha, interpret):
 
 def _fused_bwd(alpha, interpret, residuals, g):
     x, k1, k2 = residuals
+    # Recompute at the same MXU precision as the fused forward
+    # (_resolve_precision inside resblock_reference): with f32 training the
+    # gradients must also be HIGHEST or the stated f32 parity mode breaks.
     _, vjp = jax.vjp(lambda x, k1, k2: resblock_reference(x, k1, k2, alpha), x, k1, k2)
     return vjp(g)
 

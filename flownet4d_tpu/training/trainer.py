@@ -98,7 +98,14 @@ class TrainerController:
         self.models_dir = models_dir
         self.l2_weight = l2_weight
         self.packed_transfer = packed_transfer
+        if packed_transfer:
+            # Deliberate deviation from the reference's f32 input path: the
+            # relay-attached TPU is transfer-bound, so inputs ship as f16/u8
+            # (data/packed.py). --no-packed-transfer restores bit-exact f32.
+            print("Packed f16 wire transfer active (inputs quantized in "
+                  "flight; use packed_transfer=False for bit-exact f32 inputs)")
         self.steps_per_dispatch = max(1, steps_per_dispatch)
+        self._quicksave_batch = None
 
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
@@ -184,9 +191,11 @@ class TrainerController:
                 "mse_sum": jnp.sum(mse * w),
                 "div_sum": jnp.sum(div * w),
                 "acc_sum": jnp.sum(rel_err * w),
-                "l2": l2,
+                # Zero-weight scan fillers must not skew the l2 mean: gate
+                # both the numerator and the step count on real samples.
+                "l2": l2 * (n_real > 0),
                 "count": n_real,
-                "steps": jnp.asarray(1.0, jnp.float32),
+                "steps": (n_real > 0).astype(jnp.float32),
             }
             return scalar, (metrics, pred)
 
@@ -500,7 +509,18 @@ class TrainerController:
 
     def quicksave(self, testset, epoch_nr: int):
         """Benchmark-batch prediction snapshot (TrainerController.py:415-454)."""
-        batch = next(iter(testset))
+        if self._quicksave_batch is None:
+            # Cache the single benchmark batch (the reference's testset is
+            # unshuffled, so the first batch is stable) and close the
+            # iterator so its prefetch producer shuts down rather than
+            # leaking a thread per best-model save.
+            it = iter(testset)
+            try:
+                self._quicksave_batch = next(it)
+            finally:
+                if hasattr(it, "close"):
+                    it.close()
+        batch = self._quicksave_batch
         _, metrics, preds = self._eval_step(self.state, self._put(batch))
         metrics = jax.device_get(metrics)
         preds = np.asarray(jax.device_get(preds))
@@ -536,9 +556,12 @@ class TrainerController:
         save_predictions(self.model_dir, fname, "w", preds[None, ..., 2], compression="gzip")
 
         if epoch_nr == 1:
-            save_predictions(self.model_dir, fname, "lr_u", batch.lr[real][..., 0], compression="gzip")
-            save_predictions(self.model_dir, fname, "lr_v", batch.lr[real][..., 1], compression="gzip")
-            save_predictions(self.model_dir, fname, "lr_w", batch.lr[real][..., 2], compression="gzip")
+            # LR inputs keep their trailing singleton channel dim, matching
+            # the reference quicksave layout (TrainerController.py:443-445);
+            # hr_* are squeezed there (:447-449), matching the [..., i] below.
+            save_predictions(self.model_dir, fname, "lr_u", batch.lr[real][..., 0:1], compression="gzip")
+            save_predictions(self.model_dir, fname, "lr_v", batch.lr[real][..., 1:2], compression="gzip")
+            save_predictions(self.model_dir, fname, "lr_w", batch.lr[real][..., 2:3], compression="gzip")
             save_predictions(self.model_dir, fname, "hr_u", batch.hr[real][..., 0], compression="gzip")
             save_predictions(self.model_dir, fname, "hr_v", batch.hr[real][..., 1], compression="gzip")
             save_predictions(self.model_dir, fname, "hr_w", batch.hr[real][..., 2], compression="gzip")
