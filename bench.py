@@ -84,7 +84,9 @@ def main():
     # training mode; BENCH_DTYPE=float32 measures the strict-parity mode.
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # Default: auto (remat on for f32, off for bf16 — see TrainerController).
+    remat_env = os.environ.get("BENCH_REMAT", "")
+    remat = None if remat_env == "" else remat_env == "1"
     # Fused multi-step scan measured slower than single-step dispatch on the
     # relay-attached chip (566 vs 738 ms/step at K=10); default to 1.
     scan_steps = int(os.environ.get("BENCH_SCAN", "1"))

@@ -52,6 +52,16 @@ class SR4DFlowNetConfig:
     # MXU precision: float32 compute uses HIGHEST (multi-pass, matches the
     # f32 reference); bfloat16 throughput mode uses the single-pass DEFAULT.
     precision: Any = None
+    # Fused-boundary SYMMETRIC conv: zero-pad SAME conv + O(surface) edge
+    # corrections instead of materialising the padded tensor per conv
+    # (ops/conv.py::_clamp_conv3d). Numerically equivalent (exact tap set,
+    # fp summation order differs); eliminates 38% of step time in HBM
+    # pad traffic. False restores the explicit jnp.pad path.
+    fused_boundary: bool = True
+    # Compute the three u/v/w heads as one 64->192 conv + one block-diagonal
+    # 192->3 conv (identical math/params; MXU-lane-friendly). False keeps
+    # the reference-shaped per-component convs.
+    merged_heads: bool = True
 
     def resolved_precision(self):
         if self.precision is not None:
@@ -72,6 +82,7 @@ class Conv3D(nn.Module):
     padding: str = "SYMMETRIC"
     dtype: Any = jnp.float32
     precision: Any = None
+    fused_boundary: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -93,6 +104,7 @@ class Conv3D(nn.Module):
             bias,
             padding=self.padding,
             precision=self.precision,
+            fused_boundary=self.fused_boundary,
         )
 
 
@@ -106,6 +118,30 @@ class _Kernel(nn.Module):
         return self.param("kernel", nn.initializers.glorot_uniform(), self.shape, jnp.float32)
 
 
+class _ConvParams(nn.Module):
+    """Conv kernel+bias holder with Conv3D-identical param paths/init.
+
+    Lets merged compute paths (e.g. the fused u/v/w heads) keep the exact
+    per-head param tree, so Keras .h5 import and checkpoints are unchanged.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (k, k, k, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResBlock(nn.Module):
     """conv(k3, no bias) -> LeakyReLU(0.2) -> conv(k3, no bias) -> +x -> LeakyReLU.
 
@@ -117,6 +153,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     use_pallas: bool = False
+    fused_boundary: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -132,10 +169,12 @@ class ResBlock(nn.Module):
                 x.astype(self.dtype), k1.astype(self.dtype), k2.astype(self.dtype)
             )
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision, name="conv1")(x)
+                     precision=self.precision,
+                     fused_boundary=self.fused_boundary, name="conv1")(x)
         tmp = leaky_relu(tmp, 0.2)
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision, name="conv2")(tmp)
+                     precision=self.precision,
+                     fused_boundary=self.fused_boundary, name="conv2")(tmp)
         return leaky_relu(x + tmp, 0.2)
 
 
@@ -149,6 +188,7 @@ class SR4DFlowNet(nn.Module):
         c = cfg.channels
         dt = cfg.dtype
         prec = cfg.resolved_precision()
+        fb = cfg.fused_boundary
 
         velocity = velocity.astype(dt)
         magnitude = magnitude.astype(dt)
@@ -161,15 +201,15 @@ class SR4DFlowNet(nn.Module):
         phase = velocity
         pc = jnp.concatenate([pcmr, mag, speed], axis=-1)
 
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="pc1")(pc))
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="pc2")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc1")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc2")(pc))
 
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="phase1")(phase))
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="phase2")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase1")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase2")(phase))
 
         x = jnp.concatenate([phase, pc], axis=-1)
-        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, name="fuse1")(x))
-        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name="fuse2")(x))
+        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, name="fuse1")(x))
+        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="fuse2")(x))
 
         block = ResBlock
         if cfg.remat_blocks and not cfg.use_pallas:
@@ -179,21 +219,48 @@ class SR4DFlowNet(nn.Module):
 
         for i in range(cfg.low_resblock):
             x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
-                      name=f"low_res_block_{i}")(x)
+                      fused_boundary=fb, name=f"low_res_block_{i}")(x)
 
         x = upsample3d(x, cfg.res_increase, precision=jax.lax.Precision.HIGHEST)
 
         for i in range(cfg.hi_resblock):
             x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
-                      name=f"hi_res_block_{i}")(x)
+                      fused_boundary=fb, name=f"hi_res_block_{i}")(x)
 
-        heads = []
-        for comp in ("u", "v", "w"):
-            h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, name=f"{comp}_head1")(x))
-            h = Conv3D(1, 3, dtype=dt, precision=prec, name=f"{comp}_head2")(h)  # linear output
-            heads.append(h)
-
-        out = jnp.concatenate(heads, axis=-1)
+        if cfg.merged_heads:
+            # One 64->3c conv for the three head1s (reads x once, fills MXU
+            # lanes) and one block-diagonal 3c->3 conv for the head2s —
+            # identical math and param tree to the per-component loop below;
+            # separate 64->1 convs ran at 0.7 TF/s on v5e (1-channel outputs
+            # tile to 128 lanes), 12 ms of a 270 ms step.
+            k1s, b1s, k2s, b2s = [], [], [], []
+            for comp in ("u", "v", "w"):
+                k1, b1 = _ConvParams(c, c, name=f"{comp}_head1")()
+                k2, b2 = _ConvParams(1, c, name=f"{comp}_head2")()
+                k1s.append(k1), b1s.append(b1), k2s.append(k2), b2s.append(b2)
+            K1 = jnp.concatenate(k1s, axis=-1).astype(dt)  # (3,3,3,c,3c)
+            B1 = jnp.concatenate(b1s)
+            h = nn.relu(conv3d_symmetric_pad(
+                x.astype(dt), K1, B1, precision=prec, fused_boundary=fb))
+            z = jnp.zeros_like(k2s[0])
+            K2 = jnp.concatenate(
+                [
+                    jnp.concatenate([k2s[0], z, z], axis=-1),
+                    jnp.concatenate([z, k2s[1], z], axis=-1),
+                    jnp.concatenate([z, z, k2s[2]], axis=-1),
+                ],
+                axis=3,
+            ).astype(dt)  # (3,3,3,3c,3) block-diagonal
+            B2 = jnp.concatenate(b2s)
+            out = conv3d_symmetric_pad(
+                h, K2, B2, precision=prec, fused_boundary=fb)  # linear output
+        else:
+            heads = []
+            for comp in ("u", "v", "w"):
+                h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name=f"{comp}_head1")(x))
+                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, name=f"{comp}_head2")(h)  # linear output
+                heads.append(h)
+            out = jnp.concatenate(heads, axis=-1)
         return out.astype(jnp.float32)
 
     def forward_components(self, u, v, w, u_mag, v_mag, w_mag):

@@ -12,6 +12,8 @@ traced values).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -40,6 +42,108 @@ def pad_reflect(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, cfg, mode="reflect")
 
 
+def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
+    """Symmetric-pad(1) + VALID k=3 conv without materialising the pad.
+
+    For pad width 1, TF ``SYMMETRIC`` padding equals edge-replicate (clamp)
+    padding. The clamp conv is computed as
+
+      y = conv(x, k, zero SAME padding)    # padding fused into the conv op
+    with the six boundary face planes fixed up exactly: the true value of
+    an output face is itself a clamp conv of the thickness-2 input slab at
+    that face, with the kernel *collapsed* along the face axis (the oob tap
+    reads the clamped = edge plane, so its weight folds onto the edge tap:
+    k0+k1 for the low face, k1+k2 for the high face). In-plane clamping —
+    including edges and corners of the volume — is exact because the tiny
+    slab is symmetric-padded in the remaining axes before the VALID conv.
+
+    The fixes are applied additively, (face_true - y[face]) zero-padded to
+    full shape, over *disjoint* boundary regions (z faces own the full
+    planes; y faces exclude z-boundary rows; x faces exclude both), so no
+    sequencing or inclusion-exclusion is needed.
+
+    Why: the reference pads explicitly before every conv
+    (SR4DFlowNet.py:101-103). On TPU that materialises a (B,50,50,50,64)
+    copy per conv forward and a per-axis slice+add chain per conv backward
+    — measured 38% of the whole train step (44.8 GB/step of HBM traffic,
+    docs/performance.md round 2). This formulation keeps all bulk convs on
+    8-aligned 48^3/24^3 shapes with XLA-native fused padding, at ~8% extra
+    conv FLOPs on O(surface) slabs.
+    """
+    assert kernel.shape[0] == 3, "clamp decomposition implemented for k=3 only"
+    kernel = kernel.astype(x.dtype)
+
+    def conv(inp, ker, padding):
+        return lax.conv_general_dilated(
+            inp,
+            ker,
+            window_strides=(1, 1, 1),
+            padding=padding,
+            dimension_numbers=CONV_DIMENSION_NUMBERS,
+            precision=precision,
+        )
+
+    y = conv(x, kernel, [(1, 1)] * 3)
+
+    B = x.shape[0]
+    corrections = []
+    for ax in range(3):  # spatial axis: 0=z(dim1), 1=y(dim2), 2=x(dim3)
+        dim = ax + 1
+        n = x.shape[dim]
+        # Region for this axis excludes boundary planes of earlier axes
+        # (owned by their faces); if an earlier axis is too short to have
+        # an interior, this region is empty.
+        inner = [x.shape[d + 1] - 2 for d in range(ax)]
+        if any(m <= 0 for m in inner):
+            continue
+        for side in (0, 1):
+            # Collapse the kernel along `ax`: fold the oob tap onto the edge.
+            if side == 0:
+                collapsed = jnp.concatenate(
+                    [
+                        lax.slice_in_dim(kernel, 0, 1, axis=ax)
+                        + lax.slice_in_dim(kernel, 1, 2, axis=ax),
+                        lax.slice_in_dim(kernel, 2, 3, axis=ax),
+                    ],
+                    axis=ax,
+                )
+                slab = lax.slice_in_dim(x, 0, 2, axis=dim)
+            else:
+                collapsed = jnp.concatenate(
+                    [
+                        lax.slice_in_dim(kernel, 0, 1, axis=ax),
+                        lax.slice_in_dim(kernel, 1, 2, axis=ax)
+                        + lax.slice_in_dim(kernel, 2, 3, axis=ax),
+                    ],
+                    axis=ax,
+                )
+                slab = lax.slice_in_dim(x, n - 2, n, axis=dim)
+            # Symmetric (=replicate at width 1) pad of the slab in the
+            # *later* axes only; earlier axes run VALID (their boundary
+            # rows belong to those axes' faces), `ax` itself runs VALID
+            # over the 2-slab with the collapsed kernel.
+            pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0), (0, 0)]
+            conv_pad = [(0, 0), (0, 0), (0, 0)]
+            for d in range(ax + 1, 3):
+                pad_cfg[d + 1] = (1, 1)
+            slab = jnp.pad(slab, pad_cfg, mode="symmetric")
+            face_true = conv(slab, collapsed, conv_pad)
+            # Slice the same region out of y and pad the fix to full shape.
+            y_idx: list[Any] = [slice(None)] * 5
+            out_pad = [(0, 0)] * 5
+            for d in range(ax):
+                m = x.shape[d + 1]
+                y_idx[d + 1] = slice(1, m - 1)
+                out_pad[d + 1] = (1, 1)
+            y_idx[dim] = slice(0, 1) if side == 0 else slice(n - 1, n)
+            out_pad[dim] = (0, n - 1) if side == 0 else (n - 1, 0)
+            fix = face_true - y[tuple(y_idx)]
+            corrections.append(jnp.pad(fix, out_pad))
+    for c in corrections:
+        y = y + c
+    return y
+
+
 def conv3d_symmetric_pad(
     x: jax.Array,
     kernel: jax.Array,
@@ -47,6 +151,7 @@ def conv3d_symmetric_pad(
     *,
     padding: str = "SYMMETRIC",
     precision=None,
+    fused_boundary: bool = True,
 ) -> jax.Array:
     """3D convolution with reference-equivalent padding semantics.
 
@@ -61,6 +166,15 @@ def conv3d_symmetric_pad(
     k = kernel.shape[0]
     p = (k - 1) // 2
     if padding == "SYMMETRIC":
+        if (
+            fused_boundary
+            and k == 3
+            and all(n >= 2 for n in x.shape[1:4])
+        ):
+            y = _clamp_conv3d(x, kernel, precision)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         x = pad_symmetric(x, p)
         lax_padding = "VALID"
     elif padding == "REFLECT":

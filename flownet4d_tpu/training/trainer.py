@@ -72,8 +72,13 @@ class TrainerController:
         seed: int = 0,
         l2_weight: float = 5e-7,
         channels: int = 64,  # the reference pins 64; overridable for tests/scaling
-        remat: bool = True,  # rematerialise resblocks: ~1.3x FLOPs for ~10x less
-        #                      activation HBM — required for f32 batch 8 at 24^3->48^3
+        remat: bool | None = None,  # rematerialise resblocks: ~1.3x FLOPs for
+        #   ~10x less activation HBM. None = auto: on for f32 (required for
+        #   batch 8 at 24^3->48^3), off for bf16 (fits, and measured faster
+        #   once the fused-boundary conv removed the pad traffic: 269 vs
+        #   311 ms/step, docs/performance.md round 2).
+        fused_boundary: bool = True,  # boundary-corrected SAME convs instead
+        #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
         packed_transfer: bool = True,  # f16/u8 wire format (see data/packed.py);
         #                                set False for bit-exact f32 input parity
         steps_per_dispatch: int = 1,  # K>1 fuses K optimizer steps into one
@@ -107,6 +112,8 @@ class TrainerController:
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         self._quicksave_batch = None
 
+        if remat is None:
+            remat = compute_dtype == jnp.float32
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
             low_resblock=low_resblock,
@@ -115,6 +122,7 @@ class TrainerController:
             dtype=compute_dtype,
             remat_blocks=remat,
             use_pallas=use_pallas,
+            fused_boundary=fused_boundary,
         )
         self.model = SR4DFlowNet(self.config)
 

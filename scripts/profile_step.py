@@ -1,0 +1,206 @@
+"""Profile the pure training step on the real TPU (VERDICT round-2 item 2).
+
+Runs the paper-config train step (patch 24^3 -> 48^3, x2 SR, batch 8,
+8/4 resblocks) and attributes device time three ways:
+
+1. jax.profiler trace (if the relay-attached backend supports it) ->
+   --profile-dir, inspect with tensorboard or xprof offline.
+2. XLA compiled cost analysis: FLOPs / bytes accessed / peak memory for
+   the whole step executable.
+3. Ablation wall-clock A/B inside ONE process (relay variance is 2-3x
+   across processes, so only same-process comparisons are meaningful):
+   forward, forward+loss, full step; remat on/off; rotation on/off;
+   f32 vs bf16.
+
+Timing rule (CLAUDE.md): every window ends in a host readback.
+
+Usage: python scripts/profile_step.py [--trace] [--ablate] [--steps N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_inputs(batch=8, patch=24, res=2, seed=0):
+    rng = np.random.default_rng(seed)
+    P = patch * res
+    return dict(
+        lr=rng.uniform(-1, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+        mag=rng.uniform(0, 1, (batch, patch, patch, patch, 3)).astype("float32"),
+        hr=rng.uniform(-1, 1, (batch, P, P, P, 3)).astype("float32"),
+        venc=np.full((batch,), 1.5, "float32"),
+        mask=(rng.uniform(size=(batch, P, P, P)) > 0.5).astype("float32"),
+        rot_case=(np.arange(batch) % 10).astype("int32"),
+        weight=np.ones((batch,), "float32"),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--profile-dir", default="/tmp/jax_trace")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--no-remat", action="store_true")
+    args = ap.parse_args()
+
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from flownet4d_tpu.training import TrainerController
+    from flownet4d_tpu.data.patch_loader import TrainingBatch
+
+    log(f"devices: {jax.devices()}")
+    patch, res, batch = 24, 2, args.batch
+
+    def build(compute_dtype, remat, use_pallas=False):
+        return TrainerController(
+            patch, res, 2e-4, False, "prof", 8, 4,
+            compute_dtype=compute_dtype, models_dir="/tmp/prof_models",
+            remat=remat, use_pallas=use_pallas, packed_transfer=False,
+        )
+
+    def time_fn(fn, n, sync):
+        """Median-of-3 windows of n calls, each window fenced by sync()."""
+        rates = []
+        fn(); sync()  # warm
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n):
+                fn()
+            sync()
+            rates.append((time.time() - t0) / n)
+        return float(np.median(rates)) * 1000  # ms
+
+    tc = build(jnp.bfloat16, remat=not args.no_remat)
+    host = make_inputs(batch)
+    b = TrainingBatch(**host)
+    dev = tc._put(b)
+
+    # compile
+    t0 = time.time()
+    tc.state, m = tc._train_step(tc.state, dev, train=True)
+    _ = int(np.asarray(tc.state.step))
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    # --- cost analysis --------------------------------------------------
+    lowered = jax.jit(tc._step, static_argnames=("train",), donate_argnums=0
+                      ).lower(tc.state, dev, train=True)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca.get("flops", float("nan"))
+        bytes_acc = ca.get("bytes accessed", float("nan"))
+        log(f"cost_analysis: flops={flops/1e12:.3f} TF, "
+            f"bytes={bytes_acc/1e9:.3f} GB, "
+            f"arithmetic intensity={flops/max(bytes_acc,1):.1f} flops/byte")
+        for k, v in sorted(ca.items()):
+            if isinstance(v, float) and v > 0:
+                log(f"  {k}: {v:.4g}")
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+    try:
+        ma = compiled.memory_analysis()
+        log(f"memory_analysis: {ma}")
+    except Exception as e:
+        log(f"memory_analysis unavailable: {e}")
+
+    # --- steady-state step time (device-bound, input resident) ----------
+    def step():
+        tc.state, _m = tc._train_step(tc.state, dev, train=True)
+
+    def sync():
+        _ = int(np.asarray(tc.state.step))
+
+    ms = time_fn(step, args.steps, sync)
+    log(f"PURE STEP (bf16, remat={not args.no_remat}, resident input): {ms:.1f} ms/step "
+        f"-> {batch/ms*1000:.1f} patches/s")
+
+    # --- profiler trace --------------------------------------------------
+    if args.trace:
+        os.makedirs(args.profile_dir, exist_ok=True)
+        try:
+            jax.profiler.start_trace(args.profile_dir)
+            for _ in range(5):
+                step()
+            sync()
+            jax.profiler.stop_trace()
+            found = []
+            for root, _d, files in os.walk(args.profile_dir):
+                for f in files:
+                    p = os.path.join(root, f)
+                    found.append((p, os.path.getsize(p)))
+            log(f"trace files: {found}")
+        except Exception as e:
+            log(f"profiler trace FAILED on this backend: {type(e).__name__}: {e}")
+
+    if not args.ablate:
+        return
+
+    # --- ablations (same process) ----------------------------------------
+    results = {"full_bf16_remat": ms}
+
+    # forward only
+    fwd = jax.jit(lambda p, v, m: tc.model.apply({"params": p}, v, m))
+    vel = jax.device_put(host["lr"])
+    mag = jax.device_put(host["mag"])
+    out = fwd(tc.state.params, vel, mag)
+    _ = np.asarray(out[0, 0, 0, 0, 0])
+
+    outbox = [out]
+    def fstep():
+        outbox[0] = fwd(tc.state.params, vel, mag)
+    def fsync():
+        _ = np.asarray(outbox[0][0, 0, 0, 0, 0])
+    results["forward_bf16"] = time_fn(fstep, args.steps, fsync)
+
+    # loss+grad without rotation: rot_case=0
+    host0 = dict(host); host0["rot_case"] = np.zeros(batch, "int32")
+    dev0 = tc._put(TrainingBatch(**host0))
+    results["full_bf16_rot0"] = time_fn(
+        lambda: setattr(tc, "state", tc._train_step(tc.state, dev0, train=True)[0]),
+        args.steps, sync)
+
+    # no remat
+    tc2 = build(jnp.bfloat16, remat=False)
+    dev2 = tc2._put(b)
+    tc2.state, _ = tc2._train_step(tc2.state, dev2, train=True)
+    _ = int(np.asarray(tc2.state.step))
+    def step2():
+        tc2.state, _m = tc2._train_step(tc2.state, dev2, train=True)
+    def sync2():
+        _ = int(np.asarray(tc2.state.step))
+    results["full_bf16_noremat"] = time_fn(step2, args.steps, sync2)
+
+    # f32
+    tc3 = build(jnp.float32, remat=True)
+    dev3 = tc3._put(b)
+    tc3.state, _ = tc3._train_step(tc3.state, dev3, train=True)
+    _ = int(np.asarray(tc3.state.step))
+    def step3():
+        tc3.state, _m = tc3._train_step(tc3.state, dev3, train=True)
+    def sync3():
+        _ = int(np.asarray(tc3.state.step))
+    results["full_f32_remat"] = time_fn(step3, args.steps, sync3)
+
+    log("\n=== ablation results (ms/step, median of 3 windows) ===")
+    for k, v in results.items():
+        log(f"  {k:24s} {v:8.1f} ms  ({batch/v*1000:6.1f} patches/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,14 @@ def main():
                    help="disable the f16/u8 wire format (bit-exact f32 inputs)")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="fuse K optimizer steps into one lax.scan dispatch")
-    p.add_argument("--no-remat", action="store_true",
-                   help="disable residual-block rematerialization")
+    p.add_argument("--remat", dest="remat", action="store_true", default=None,
+                   help="force residual-block rematerialization on")
+    p.add_argument("--no-remat", dest="remat", action="store_false",
+                   help="force rematerialization off (default: auto — on for "
+                        "f32, off for bf16)")
+    p.add_argument("--no-fused-boundary", action="store_true",
+                   help="use explicit symmetric pads instead of the "
+                        "boundary-corrected SAME convs")
     p.add_argument("--use-pallas", action="store_true",
                    help="experimental fused Pallas residual blocks")
     p.add_argument("--div-weight", type=float, default=0.0,
@@ -112,7 +118,8 @@ def main():
         models_dir=args.models_dir,
         packed_transfer=not args.no_packed_transfer,
         steps_per_dispatch=args.steps_per_dispatch,
-        remat=not args.no_remat,
+        remat=args.remat,
+        fused_boundary=not args.no_fused_boundary,
         use_pallas=args.use_pallas,
         div_weight=args.div_weight,
         profile_dir=args.profile_dir,
