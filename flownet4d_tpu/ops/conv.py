@@ -42,6 +42,17 @@ def pad_reflect(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, cfg, mode="reflect")
 
 
+def _conv_same(x, kernel, precision):
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1, 1),
+        padding=[(1, 1)] * 3,
+        dimension_numbers=CONV_DIMENSION_NUMBERS,
+        precision=precision,
+    )
+
+
 def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
     """Symmetric-pad(1) + VALID k=3 conv without materialising the pad.
 
@@ -57,10 +68,16 @@ def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
     including edges and corners of the volume — is exact because the tiny
     slab is symmetric-padded in the remaining axes before the VALID conv.
 
-    The fixes are applied additively, (face_true - y[face]) zero-padded to
-    full shape, over *disjoint* boundary regions (z faces own the full
+    The fixes are applied additively, (face_true - face_zero) zero-padded
+    to full shape, over *disjoint* boundary regions (z faces own the full
     planes; y faces exclude z-boundary rows; x faces exclude both), so no
-    sequencing or inclusion-exclusion is needed.
+    sequencing or inclusion-exclusion is needed. face_zero (what the SAME
+    conv produced on the face) is recomputed from the same slab with the
+    kernel truncated to its in-bounds taps rather than sliced out of y:
+    keeping the corrections independent of y lets the backward chain
+    between the big convs stay elementwise, which keeps XLA's layout
+    assignment (and conv-emitter choice) in the fast batch-in-sublanes
+    form — slicing y instead measured 243 vs 197 ms/step.
 
     Why: the reference pads explicitly before every conv
     (SR4DFlowNet.py:101-103). On TPU that materialises a (B,50,50,50,64)
@@ -83,9 +100,8 @@ def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
             precision=precision,
         )
 
-    y = conv(x, kernel, [(1, 1)] * 3)
+    y = _conv_same(x, kernel, precision)
 
-    B = x.shape[0]
     corrections = []
     for ax in range(3):  # spatial axis: 0=z(dim1), 1=y(dim2), 2=x(dim3)
         dim = ax + 1
@@ -118,27 +134,35 @@ def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
                     axis=ax,
                 )
                 slab = lax.slice_in_dim(x, n - 2, n, axis=dim)
+            # What the zero-padded SAME conv produced on this face: same
+            # slab, kernel truncated to the in-bounds taps, zero pad on the
+            # later in-plane axes. Computing it from the slab (instead of
+            # slicing y) keeps the correction independent of y, so the
+            # backward chain between the big convs stays elementwise and
+            # layout assignment doesn't bounce tensors through relayouts.
+            if side == 0:
+                truncated = lax.slice_in_dim(kernel, 1, 3, axis=ax)
+            else:
+                truncated = lax.slice_in_dim(kernel, 0, 2, axis=ax)
             # Symmetric (=replicate at width 1) pad of the slab in the
             # *later* axes only; earlier axes run VALID (their boundary
             # rows belong to those axes' faces), `ax` itself runs VALID
             # over the 2-slab with the collapsed kernel.
             pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0), (0, 0)]
             conv_pad = [(0, 0), (0, 0), (0, 0)]
+            zero_pad = [(0, 0), (0, 0), (0, 0)]
             for d in range(ax + 1, 3):
                 pad_cfg[d + 1] = (1, 1)
-            slab = jnp.pad(slab, pad_cfg, mode="symmetric")
-            face_true = conv(slab, collapsed, conv_pad)
-            # Slice the same region out of y and pad the fix to full shape.
-            y_idx: list[Any] = [slice(None)] * 5
+                zero_pad[d] = (1, 1)
+            slab_sym = jnp.pad(slab, pad_cfg, mode="symmetric")
+            face_true = conv(slab_sym, collapsed, conv_pad)
+            face_zero = conv(slab, truncated, zero_pad)
+            # Pad the fix to full shape over this axis' disjoint region.
             out_pad = [(0, 0)] * 5
             for d in range(ax):
-                m = x.shape[d + 1]
-                y_idx[d + 1] = slice(1, m - 1)
                 out_pad[d + 1] = (1, 1)
-            y_idx[dim] = slice(0, 1) if side == 0 else slice(n - 1, n)
             out_pad[dim] = (0, n - 1) if side == 0 else (n - 1, 0)
-            fix = face_true - y[tuple(y_idx)]
-            corrections.append(jnp.pad(fix, out_pad))
+            corrections.append(jnp.pad(face_true - face_zero, out_pad))
     for c in corrections:
         y = y + c
     return y
