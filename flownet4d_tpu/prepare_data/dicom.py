@@ -10,8 +10,9 @@ v = (p - 2048)/2048 * venc/100 m/s (:31-35); map in->u, rl/ap->w, fh->v
 with per-axis sign multipliers (:60-73); append everything (plus voxel
 spacing) to HDF5 (:75-92).
 
-pydicom is an optional dependency: import is deferred and the error message
-says exactly what is missing.
+pydicom is optional: when absent, the vendored minimal reader
+(:mod:`.dicom_lite`, uncompressed little-endian only) is used instead, so
+the ingest walk runs in pydicom-less environments.
 """
 
 from __future__ import annotations
@@ -26,16 +27,17 @@ from ..io.h5 import append_to_h5
 _VENC_PATTERN = re.compile(r".*?_v(\d+)(\w+)")
 
 
-def _require_pydicom():
+def _dicom_reader():
+    """Prefer pydicom (full format coverage); fall back to the vendored
+    :mod:`.dicom_lite` parser, which exposes the same ``dcmread`` subset."""
     try:
-        import pydicom  # noqa: F401
+        import pydicom
 
         return pydicom
-    except ImportError as e:
-        raise ImportError(
-            "DICOM ingestion requires the optional dependency 'pydicom'. "
-            "Install it (pip install pydicom) to use prepare_mri_data."
-        ) from e
+    except ImportError:
+        from . import dicom_lite
+
+        return dicom_lite
 
 
 def parse_venc_and_direction(sequence_name: str) -> tuple[int, str]:
@@ -56,13 +58,13 @@ def phase_to_velocity(phase_image: np.ndarray, venc_cm_s: int) -> np.ndarray:
 
 def load_dicom_volume(vol_dir: str):
     """Read all DICOM slices under a directory -> (volume, spacing, sequence_name)."""
-    pydicom = _require_pydicom()
+    reader = _dicom_reader()
     volume, spacing, sequence_name = [], None, None
     files = sorted(
         os.path.join(root, f) for root, _, fs in os.walk(vol_dir) for f in fs
     )
     for slice_nr, path in enumerate(files):
-        ds = pydicom.dcmread(path)
+        ds = reader.dcmread(path)
         if slice_nr == 0:
             spacing = np.asarray(list(ds.PixelSpacing) + [ds.SliceThickness], dtype=float)
             sequence_name = ds.SequenceName
@@ -131,7 +133,6 @@ def ingest_case(
 
     Returns the number of time frames ingested.
     """
-    _require_pydicom()
     directories = os.listdir(case_dir)
     phase_dirs = [d for d in directories if phase_pattern in d]
     mag_dirs = [d for d in directories if mag_pattern in d]
