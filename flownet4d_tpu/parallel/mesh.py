@@ -54,6 +54,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_with_sharding(tree, sharding: NamedSharding):
+    """Host pytree -> sharded global arrays, multi-host safe.
+
+    Single-process: one ``jax.device_put`` over the whole tree (the runtime
+    batches the transfers). Multi-process (mesh spans hosts): every process
+    holds the same host values and fills only its *addressable* shards via
+    ``make_array_from_callback`` — ``device_put`` to a non-addressable
+    sharding attempts a cross-host transfer and deadlocks on CPU clusters
+    (observed in the 2-process smoke, tests/test_multihost.py).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def put_leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put_leaf, tree)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Move a host batch to the mesh with its batch axis sharded.
 
@@ -63,4 +83,4 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     step than jit's implicit numpy-argument transfer on relay-attached
     TPUs, and is required for >1 device anyway.
     """
-    return jax.device_put(batch, batch_sharding(mesh, axis_name))
+    return put_with_sharding(batch, batch_sharding(mesh, axis_name))

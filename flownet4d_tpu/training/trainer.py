@@ -24,8 +24,10 @@ TPU-native design decisions
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import signal
 import time
 import datetime
 from functools import partial
@@ -39,7 +41,7 @@ import optax
 from ..models.sr4dflownet import SR4DFlowNet, SR4DFlowNetConfig, l2_regularization
 from ..ops.losses import masked_fluid_mse, relative_speed_error, divergence_loss2
 from ..ops.rotate import batched_rotate_sample
-from ..parallel.mesh import make_mesh, shard_batch, replicated_sharding
+from ..parallel.mesh import make_mesh, shard_batch, replicated_sharding, put_with_sharding
 from ..io.h5 import save_predictions
 from ..utils.logging import log_to_file, calculate_time_elapsed, SummaryLogger
 from ..data.packed import PackedBatch, pack_batch, unpack_batch
@@ -84,13 +86,15 @@ class TrainerController:
         steps_per_dispatch: int = 1,  # K>1 fuses K optimizer steps into one
         #                               lax.scan dispatch: K batches upload as one
         #                               super-batch and run without host round trips
-        use_pallas: bool = False,  # fused Pallas residual blocks
         lr_schedule=None,  # optional optax schedule (step -> lr); the reference
         #                    keeps a fixed lr (adjust_learning_rate is commented
         #                    out at TrainerController.py:280)
         profile_dir: str | None = None,  # jax.profiler trace output directory
         div_weight: float = 0.0,  # divergence-loss weight (dormant in reference)
         non_fluid_weight: float = 1.0,
+        latest_every: int = 10,  # -latest.ckpt cadence in epochs (ref
+        #   defines save_model('latest') but never calls it; we do, and a
+        #   SIGTERM forces an immediate save regardless of cadence)
     ):
         self.div_weight = div_weight  # disabled (0) in the reference v2.0 (ref :23)
         self.non_fluid_weight = non_fluid_weight  # ref :24
@@ -111,6 +115,10 @@ class TrainerController:
                   "flight; use packed_transfer=False for bit-exact f32 inputs)")
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         self._quicksave_batch = None
+        self.latest_every = max(1, latest_every)
+        self.start_epoch = 0  # set by resume_from()
+        self._best_val = np.inf
+        self._stop_requested = False
 
         if remat is None:
             remat = compute_dtype == jnp.float32
@@ -121,7 +129,6 @@ class TrainerController:
             channels=channels,
             dtype=compute_dtype,
             remat_blocks=remat,
-            use_pallas=use_pallas,
             fused_boundary=fused_boundary,
         )
         self.model = SR4DFlowNet(self.config)
@@ -145,7 +152,7 @@ class TrainerController:
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         # Replicate state over the mesh.
         rep = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, rep)
+        self.state = put_with_sharding(state, rep)
 
         self.loss_metrics = MetricSet()
 
@@ -281,7 +288,7 @@ class TrainerController:
             while len(packed) < K:
                 packed.append(jax.tree_util.tree_map(np.zeros_like, packed[0]))
             stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *packed)
-            return jax.device_put(stacked, group_sharding), n_real
+            return put_with_sharding(stacked, group_sharding), n_real
 
         it = iter(dataset)
         cur = None
@@ -336,11 +343,56 @@ class TrainerController:
         os.makedirs(self.model_dir, exist_ok=True)
         self._prepare_logfile_and_summary()
 
+    def resume_from(self, model_dir: str) -> bool:
+        """Elastic resume: reuse an interrupted run's directory.
+
+        Restores ``<name>-latest.ckpt`` (falling back to ``-best.ckpt``)
+        plus the epoch/best-loss metadata sidecar, re-attaches the loggers
+        (loss.csv is appended, not rewritten), and arranges for
+        ``train_network`` to continue from the next epoch. Returns True if
+        a checkpoint was restored. Beyond-reference behaviour: the
+        reference restart always begins a fresh run (TrainerController.py
+        has no resume path).
+        """
+        self.unique_model_name = os.path.basename(os.path.normpath(model_dir))
+        self.model_dir = model_dir
+        self.model_path = os.path.join(self.model_dir, self.network_name)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self._prepare_logfile_and_summary()
+
+        restored_path = None
+        for suffix in ("-latest.ckpt", "-best.ckpt"):
+            path = f"{self.model_path}{suffix}"
+            if os.path.isdir(path):
+                template = jax.device_get(self.state)
+                restored = ckpt.restore_train_state(path, template)
+                self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
+                restored_path = path
+                break
+
+        meta_path = f"{self.model_path}-latest.meta.json"
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.start_epoch = int(meta.get("epoch", 0))
+            best = meta.get("best_loss")
+            self._best_val = float(best) if best is not None else np.inf
+
+        if restored_path:
+            step = int(np.asarray(jax.device_get(self.state.step)))
+            msg = (f"Resumed from {restored_path} at epoch {self.start_epoch}, "
+                   f"step {step}, best {self.accuracy_metric} {self._best_val:.5f}")
+            print(msg)
+            log_to_file(self.logfile, msg + "\n")
+        return restored_path is not None
+
     def _prepare_logfile_and_summary(self) -> None:
         self.train_writer = SummaryLogger(os.path.join(self.model_dir, "tensorboard", "train"))
         self.val_writer = SummaryLogger(os.path.join(self.model_dir, "tensorboard", "validate"))
 
         self.logfile = os.path.join(self.model_dir, "loss.csv")
+        if os.path.isfile(self.logfile):
+            return  # resuming: keep the existing header + history
         log_to_file(self.logfile, f"Network: {self.network_name}\n")
         log_to_file(self.logfile, f"Initial learning rate: {self.learning_rate}\n")
         log_to_file(self.logfile, f"Accuracy metric: {self.accuracy_metric}\n")
@@ -375,14 +427,31 @@ class TrainerController:
         print(f"Start training at {time.ctime()} - {self.unique_model_name}\n")
         start_time = time.time()
 
-        previous_loss = np.inf
+        previous_loss = self._best_val
         total_batch_train = len(trainset)
         total_batch_val = len(valset)
+
+        # SIGTERM/SIGINT: finish the in-flight step, write -latest.ckpt,
+        # then return cleanly (elastic preemption handling; main thread
+        # only — signal.signal raises ValueError elsewhere).
+        self._stop_requested = False
+        old_handlers = {}
+
+        def _on_signal(signum, frame):
+            self._stop_requested = True
+            print(f"\nSignal {signum}: checkpointing after the current batch...",
+                  flush=True)
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            pass
 
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
 
-        for epoch in range(n_epoch):
+        for epoch in range(self.start_epoch, n_epoch):
             self.loss_metrics.reset()
             start_loop = time.time()
 
@@ -408,6 +477,14 @@ class TrainerController:
                     f"{time.time()-start_loop:.1f} secs"
                 )
                 print(f"\r{msg}", end="")
+                if self._stop_requested:
+                    break
+
+            if self._stop_requested:
+                # Mid-epoch preemption: this epoch is incomplete, resume
+                # restarts it (meta epoch = completed epochs).
+                self.save_latest_model(epoch, force=True, best_loss=previous_loss)
+                break
 
             for i, batch in enumerate(valset):
                 self.test_step(batch)
@@ -418,6 +495,14 @@ class TrainerController:
                     f"{time.time()-start_loop:.1f} secs"
                 )
                 print(f"\r{msg}", end="")
+                if self._stop_requested:
+                    break
+
+            if self._stop_requested:
+                # Partial validation: don't let it drive the best-model
+                # decision; checkpoint and resume re-runs this epoch.
+                self.save_latest_model(epoch, force=True, best_loss=previous_loss)
+                break
 
             message = (
                 f"\rEpoch {epoch+1} "
@@ -448,10 +533,19 @@ class TrainerController:
 
             print(message)
             log_to_file(self.logfile, log_line + "\n")
-            self.save_latest_model(epoch + 1)
+            self.save_latest_model(epoch + 1, best_loss=previous_loss)
 
         if self.profile_dir:
             jax.profiler.stop_trace()
+
+        self._best_val = previous_loss
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        if self._stop_requested:
+            msg = f"\nTraining interrupted by signal; state saved to {self.model_path}-latest.ckpt"
+            log_to_file(self.logfile, msg + "\n")
+            print(msg)
+            return
 
         hrs, mins, secs = calculate_time_elapsed(start_time)
         message = f"\nTraining {self.network_name} completed! - name: {self.unique_model_name}"
@@ -468,12 +562,25 @@ class TrainerController:
             step = int(np.asarray(jax.device_get(self.state.step)))
         return float(self.lr_schedule(step))
 
-    def save_latest_model(self, epoch: int) -> None:
-        """Every-10-epochs checkpoint (reference defines this but never calls
-        it, TrainerController.py:78-82; we call it from the epoch loop)."""
-        if epoch > 0 and epoch % 10 == 0:
-            ckpt.save_train_state(f"{self.model_path}-latest.ckpt", self.state)
-            print(f"Saving current model - {time.ctime()}")
+    def save_latest_model(self, epoch: int, force: bool = False,
+                          best_loss: float = np.inf) -> None:
+        """Every-``latest_every``-epochs checkpoint (reference defines this
+        but never calls it, TrainerController.py:78-82; we call it from the
+        epoch loop, and signal handling forces it). The Orbax write is
+        atomic (tmp dir + rename), so a kill mid-save never corrupts the
+        previous checkpoint; the meta sidecar is written after the state
+        so resume metadata never refers to a missing checkpoint."""
+        if not force and (epoch <= 0 or epoch % self.latest_every != 0):
+            return
+        ckpt.save_train_state(f"{self.model_path}-latest.ckpt", self.state)
+        meta = {"epoch": int(epoch),
+                "best_loss": float(best_loss) if np.isfinite(best_loss) else None,
+                "step": int(np.asarray(jax.device_get(self.state.step)))}
+        tmp = f"{self.model_path}-latest.meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, f"{self.model_path}-latest.meta.json")
+        print(f"Saving current model - {time.ctime()}")
 
     # ------------------------------------------------------------------ #
     # Checkpointing (TrainerController.py:347-394)
@@ -499,7 +606,7 @@ class TrainerController:
             restored = TrainState(params, self.optimizer.init(params), state.step)
         else:
             raise FileNotFoundError(f"no checkpoint found under {old_model_dir}")
-        self.state = jax.device_put(restored, replicated_sharding(self.mesh))
+        self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
 
     # ------------------------------------------------------------------ #
 

@@ -159,3 +159,72 @@ def test_predictor_shards_patch_grid_over_mesh(tmp_path):
     np.testing.assert_allclose(u8, u1, atol=1e-5)
     np.testing.assert_allclose(v8, v1, atol=1e-5)
     np.testing.assert_allclose(w8, w1, atol=1e-5)
+
+
+class _ListDataset:
+    """len()-able in-memory dataset that can deliver SIGTERM to the
+    process after a given *global* batch count (kill-and-resume test)."""
+
+    def __init__(self, batches, kill_after_global=None, counter=None):
+        self.batches = batches
+        self.kill_after = kill_after_global
+        self.counter = counter if counter is not None else [0]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        import os
+        import signal as _signal
+
+        for b in self.batches:
+            yield b
+            self.counter[0] += 1
+            if self.kill_after is not None and self.counter[0] == self.kill_after:
+                os.kill(os.getpid(), _signal.SIGTERM)
+
+
+def test_sigterm_checkpoint_and_elastic_resume(tmp_path):
+    """SIGTERM mid-epoch-2 -> -latest.ckpt + meta written; a fresh
+    controller resumes from epoch 1 with the exact same state and
+    finishes the run (VERDICT round-1 item 10)."""
+    import json
+    import os
+
+    mesh = make_mesh(jax.devices()[:1])
+    batches = [_random_batch(seed=s) for s in range(3)]
+    val = _ListDataset([_random_batch(seed=9)])
+
+    tc = _tiny_controller(tmp_path, mesh)
+    tc.init_model_dir()
+    run_dir = tc.model_dir
+    # Kill during epoch 2 (after global batch 5 = epoch-2 batch 2).
+    tc.train_network(_ListDataset(batches, kill_after_global=5), val, n_epoch=3)
+
+    assert os.path.isdir(f"{tc.model_path}-latest.ckpt")
+    meta_path = f"{tc.model_path}-latest.meta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 1  # one *completed* epoch
+    assert meta["step"] == 5
+    interrupted_step = int(np.asarray(jax.device_get(tc.state.step)))
+    assert interrupted_step == 5
+
+    # Fresh process stand-in: new controller, resume from the run dir.
+    tc2 = _tiny_controller(tmp_path, mesh, seed=123)
+    assert tc2.resume_from(run_dir)
+    assert tc2.start_epoch == 1
+    assert int(np.asarray(jax.device_get(tc2.state.step))) == 5
+    p1 = jax.tree_util.tree_leaves(jax.device_get(tc.state.params))
+    p2 = jax.tree_util.tree_leaves(jax.device_get(tc2.state.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tc2.train_network(_ListDataset(batches), val, n_epoch=3)
+    # Epochs 2 and 3 re-run/complete: 5 + 2*3 = 11 steps total.
+    assert int(np.asarray(jax.device_get(tc2.state.step))) == 11
+    # loss.csv accumulated across both runs (header written once).
+    with open(os.path.join(run_dir, "loss.csv")) as f:
+        content = f.read()
+    assert content.count("Network: tiny") == 1
+    assert "Resumed from" in content

@@ -74,11 +74,16 @@ def main():
     p.add_argument("--no-fused-boundary", action="store_true",
                    help="use explicit symmetric pads instead of the "
                         "boundary-corrected SAME convs")
-    p.add_argument("--use-pallas", action="store_true",
-                   help="experimental fused Pallas residual blocks")
     p.add_argument("--div-weight", type=float, default=0.0,
                    help="divergence loss weight (dormant in the reference)")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
+    p.add_argument("--resume", metavar="RUN_DIR", default=None,
+                   help="elastic resume: continue an interrupted run from "
+                        "RUN_DIR/<network-name>-latest.ckpt (restores "
+                        "optimizer state + epoch; SIGTERM during training "
+                        "checkpoints for this)")
+    p.add_argument("--latest-every", type=int, default=10,
+                   help="epoch cadence for the -latest.ckpt autosave")
     args = p.parse_args()
 
     training_file = args.training_file or f"{args.data_dir}/train.csv"
@@ -120,11 +125,14 @@ def main():
         steps_per_dispatch=args.steps_per_dispatch,
         remat=args.remat,
         fused_boundary=not args.no_fused_boundary,
-        use_pallas=args.use_pallas,
         div_weight=args.div_weight,
         profile_dir=args.profile_dir,
+        latest_every=args.latest_every,
     )
-    network.init_model_dir()
+    if args.resume:
+        network.resume_from(args.resume)
+    else:
+        network.init_model_dir()
 
     if args.restore:
         print(f"Restoring model {args.model_file}...")
