@@ -45,10 +45,9 @@ class SR4DFlowNetConfig:
     channels: int = 64  # hard-pinned to 64 in the reference (SR4DFlowNet.py:8)
     dtype: Any = jnp.float32  # compute dtype; params are always float32
     remat_blocks: bool = False
-    # Fused Pallas residual blocks (ops/pallas_resblock.py): one kernel per
-    # block, conv1 intermediate never leaves VMEM, backward recomputes via
-    # XLA (so remat_blocks is redundant for the blocks when this is on).
-    use_pallas: bool = False
+    # Round 1 shipped a fused Pallas residual block; it measured ~2x slower
+    # than XLA's conv emitters on v5e in its best (forward-only) case and
+    # was removed in round 2 — see docs/performance.md "Pallas verdict".
     # MXU precision: float32 compute uses HIGHEST (multi-pass, matches the
     # f32 reference); bfloat16 throughput mode uses the single-pass DEFAULT.
     precision: Any = None
@@ -62,6 +61,11 @@ class SR4DFlowNetConfig:
     # 192->3 conv (identical math/params; MXU-lane-friendly). False keeps
     # the reference-shaped per-component convs.
     merged_heads: bool = True
+    # Run each residual stack as one lax.scan over stacked kernels: XLA
+    # compiles the block body once per stack instead of once per block
+    # (the fused-boundary body is 7 convs, so unrolled compiles took
+    # 157-353s on TPU). Identical math and param tree; False unrolls.
+    scan_blocks: bool = True
 
     def resolved_precision(self):
         if self.precision is not None:
@@ -108,16 +112,6 @@ class Conv3D(nn.Module):
         )
 
 
-class _Kernel(nn.Module):
-    """Bare conv-kernel holder (param path <name>/kernel)."""
-
-    shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.glorot_uniform(), self.shape, jnp.float32)
-
-
 class _ConvParams(nn.Module):
     """Conv kernel+bias holder with Conv3D-identical param paths/init.
 
@@ -145,29 +139,16 @@ class _ConvParams(nn.Module):
 class ResBlock(nn.Module):
     """conv(k3, no bias) -> LeakyReLU(0.2) -> conv(k3, no bias) -> +x -> LeakyReLU.
 
-    scale=1 as in resnet_block (SR4DFlowNet.py:111-120). With
-    ``use_pallas`` the whole block runs as one fused TPU kernel.
+    scale=1 as in resnet_block (SR4DFlowNet.py:111-120).
     """
 
     channels: int
     dtype: Any = jnp.float32
     precision: Any = None
-    use_pallas: bool = False
     fused_boundary: bool = True
 
     @nn.compact
     def __call__(self, x):
-        if self.use_pallas:
-            from ..ops.pallas_resblock import fused_resblock
-
-            c = self.channels
-            # _Kernel children keep the param tree identical to the XLA path
-            # (conv1/kernel, conv2/kernel), so checkpoints interchange freely.
-            k1 = _Kernel((3, 3, 3, x.shape[-1], c), name="conv1")()
-            k2 = _Kernel((3, 3, 3, c, c), name="conv2")()
-            return fused_resblock(
-                x.astype(self.dtype), k1.astype(self.dtype), k2.astype(self.dtype)
-            )
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
                      precision=self.precision,
                      fused_boundary=self.fused_boundary, name="conv1")(x)
@@ -176,6 +157,32 @@ class ResBlock(nn.Module):
                      precision=self.precision,
                      fused_boundary=self.fused_boundary, name="conv2")(tmp)
         return leaky_relu(x + tmp, 0.2)
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel holder (param path <name>/kernel)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.glorot_uniform(),
+                          self.shape, jnp.float32)
+
+
+class _ResBlockKernels(nn.Module):
+    """Param holder matching ResBlock's tree exactly (<name>/conv1/kernel,
+    <name>/conv2/kernel), so the scanned stack keeps checkpoints and Keras
+    import byte-compatible with the unrolled path."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+        k1 = _Kernel((3, 3, 3, c, c), name="conv1")()
+        k2 = _Kernel((3, 3, 3, c, c), name="conv2")()
+        return k1, k2
 
 
 class SR4DFlowNet(nn.Module):
@@ -211,21 +218,45 @@ class SR4DFlowNet(nn.Module):
         x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, name="fuse1")(x))
         x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="fuse2")(x))
 
-        block = ResBlock
-        if cfg.remat_blocks and not cfg.use_pallas:
-            # Pallas blocks already recompute in backward (custom_vjp saves
-            # only block inputs); extra remat would run the forward twice.
-            block = nn.remat(ResBlock)
+        block = nn.remat(ResBlock) if cfg.remat_blocks else ResBlock
 
-        for i in range(cfg.low_resblock):
-            x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
-                      fused_boundary=fb, name=f"low_res_block_{i}")(x)
+        def run_blocks(h, n, prefix):
+            """N identical-shape residual blocks.
+
+            ``scan_blocks`` runs them as one ``lax.scan`` over stacked
+            kernels: XLA compiles the (7-conv fused-boundary) block body
+            once per stack instead of once per block — measured 4-5x
+            faster compiles at the paper config with identical math and
+            an unchanged (per-block) param tree.
+            """
+            if not cfg.scan_blocks or n <= 1:
+                for i in range(n):
+                    h = block(c, dtype=dt, precision=prec,
+                              fused_boundary=fb, name=f"{prefix}_{i}")(h)
+                return h
+            pairs = [_ResBlockKernels(c, name=f"{prefix}_{i}")() for i in range(n)]
+            k1s = jnp.stack([p[0] for p in pairs]).astype(dt)
+            k2s = jnp.stack([p[1] for p in pairs]).astype(dt)
+
+            def body(carry, kk):
+                k1, k2 = kk
+                t = conv3d_symmetric_pad(carry, k1, None, precision=prec,
+                                         fused_boundary=fb)
+                t = leaky_relu(t, 0.2)
+                t = conv3d_symmetric_pad(t, k2, None, precision=prec,
+                                         fused_boundary=fb)
+                return leaky_relu(carry + t, 0.2), None
+
+            if cfg.remat_blocks:
+                body = jax.checkpoint(body)
+            h, _ = jax.lax.scan(body, h, (k1s, k2s))
+            return h
+
+        x = run_blocks(x, cfg.low_resblock, "low_res_block")
 
         x = upsample3d(x, cfg.res_increase, precision=jax.lax.Precision.HIGHEST)
 
-        for i in range(cfg.hi_resblock):
-            x = block(c, dtype=dt, precision=prec, use_pallas=cfg.use_pallas,
-                      fused_boundary=fb, name=f"hi_res_block_{i}")(x)
+        x = run_blocks(x, cfg.hi_resblock, "hi_res_block")
 
         if cfg.merged_heads:
             # One 64->3c conv for the three head1s (reads x once, fills MXU

@@ -66,11 +66,11 @@ def main():
     log(f"devices: {jax.devices()}")
     patch, res, batch = 24, 2, args.batch
 
-    def build(compute_dtype, remat, use_pallas=False):
+    def build(compute_dtype, remat):
         return TrainerController(
             patch, res, 2e-4, False, "prof", 8, 4,
             compute_dtype=compute_dtype, models_dir="/tmp/prof_models",
-            remat=remat, use_pallas=use_pallas, packed_transfer=False,
+            remat=remat, packed_transfer=False,
         )
 
     def time_fn(fn, n, sync):
