@@ -2,12 +2,20 @@
 paper-default config — patch 24^3 -> 48^3, x2 SR, 8 low/4 hi resblocks,
 batch 8 (BASELINE.json configs[1]).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the speedup over the TF-CPU reference implementation
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}
+where vs_baseline is the speedup over the TF-CPU reference implementation
 measured in this environment (BASELINE_MEASURED.json; see
-scripts/measure_tf_baseline.py for the protocol). Diagnostics go to stderr.
+scripts/measure_tf_baseline.py for the protocol). "extras" records the
+strict-f32 parity-mode training throughput and full-volume inference
+sec/frame from the same process, so every round's driver artifact captures
+all three numbers (VERDICT round-1 item 4). Diagnostics go to stderr.
+
+Env knobs: BENCH_MODE=inference (inference-only headline), BENCH_DTYPE,
+BENCH_BATCH, BENCH_STEPS, BENCH_SCAN, BENCH_REMAT,
+BENCH_EXTRAS=0 (skip the f32/inference extras).
 """
 
+import gc
 import json
 import os
 import sys
@@ -20,18 +28,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_inference():
-    """BENCH_MODE=inference: full-volume sec/frame on data/example_data.h5
-    (predictor defaults: patch 24, res x2, batch 8, 8/4 resblocks)."""
-    from flownet4d_tpu.utils.cache import enable_compilation_cache
+def _baseline(key):
+    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.isfile(bp):
+        with open(bp) as f:
+            return json.load(f).get(key)
+    return None
 
-    enable_compilation_cache()
-    import jax
+
+def measure_inference(dtype_name: str) -> float:
+    """Full-volume sec/frame on data/example_data.h5 (predictor defaults:
+    patch 24, res x2, batch 8, 8/4 resblocks). Median of 3 windows."""
     import jax.numpy as jnp
     from flownet4d_tpu.inference import VolumePredictor
     from flownet4d_tpu.data.volume import VolumeDataset
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     predictor = VolumePredictor(
         24, 2, 8,
         compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
@@ -41,7 +52,7 @@ def bench_inference():
     path = "/root/reference/data/example_data.h5"
 
     dataset.load_vectorfield(path, 0)
-    predictor.predict_volume(dataset)  # warmup/compile
+    comps = predictor.predict_volume(dataset)  # warmup/compile
     n = int(os.environ.get("BENCH_STEPS", "5"))
     rates = []
     for _ in range(3):  # median-of-3 windows (relay variance)
@@ -53,24 +64,13 @@ def bench_inference():
     spf = float(np.median(rates))
     log(f"inference windows {['%.3f' % r for r in rates]} s/frame ({dtype_name}), "
         f"out shape {comps[0].shape}")
-
-    baseline = None
-    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-    if os.path.isfile(bp):
-        with open(bp) as f:
-            baseline = json.load(f).get("tf_cpu_inference_sec_per_frame")
-    print(json.dumps({
-        "metric": f"full-volume inference sec/frame (42x38x36 -> 84x76x72, {dtype_name})",
-        "value": round(spf, 3),
-        "unit": "sec/frame",
-        "vs_baseline": round(baseline / spf, 2) if baseline else None,
-    }), flush=True)
+    del predictor
+    gc.collect()
+    return spf
 
 
-def main():
-    from flownet4d_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+def measure_train(dtype_name: str) -> tuple[float, list]:
+    """Training patches/sec at the paper config. Median of 3 windows."""
     import jax
     import jax.numpy as jnp
 
@@ -80,9 +80,6 @@ def main():
     patch, res = 24, 2
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     low_rb, hi_rb = 8, 4
-    # bfloat16 compute (f32 params/accumulation) is the documented TPU-native
-    # training mode; BENCH_DTYPE=float32 measures the strict-parity mode.
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     # Default: auto (remat on for f32, off for bf16 — see TrainerController).
     remat_env = os.environ.get("BENCH_REMAT", "")
@@ -90,13 +87,10 @@ def main():
     # Fused multi-step scan measured slower than single-step dispatch on the
     # relay-attached chip (566 vs 738 ms/step at K=10); default to 1.
     scan_steps = int(os.environ.get("BENCH_SCAN", "1"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-
-    log(f"devices: {jax.devices()}")
     tc = TrainerController(
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
-        remat=remat, steps_per_dispatch=scan_steps, use_pallas=use_pallas,
+        remat=remat, steps_per_dispatch=scan_steps,
     )
 
     rng = np.random.default_rng(0)
@@ -127,6 +121,8 @@ def main():
                 tc.state, metrics = tc._train_step(tc.state, dev_batch, train=True)
         return metrics
 
+    import jax
+
     t0 = time.time()
     run_steps([make_batch() for _ in range(scan_steps)])
     _ = int(np.asarray(tc.state.step))
@@ -153,25 +149,75 @@ def main():
         log(f"window {window+1}: {n_steps} steps in {dt:.2f}s -> {rates[-1]:.2f} "
             f"patches/s ({dt/n_steps*1000:.1f} ms/step), loss_sum {metrics['loss_sum']:.4f}")
     pps = float(np.median(rates))
+    del tc
+    gc.collect()
+    return pps, rates
 
-    baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    if os.path.isfile(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f).get("tf_cpu_train_patches_per_sec")
+
+def main():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    log(f"devices: {jax.devices()}")
+
+    pps, _ = measure_train(dtype_name)
+
+    train_baseline = _baseline("tf_cpu_train_patches_per_sec")
+    infer_baseline = _baseline("tf_cpu_inference_sec_per_frame")
+
+    # Extras: the other train dtype + bf16 inference, one artifact per round
+    # (VERDICT round-1 item 4). Failures are non-fatal: the headline line
+    # must print regardless.
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        other = "float32" if dtype_name == "bfloat16" else "bfloat16"
+        try:
+            pps_other, _ = measure_train(other)
+            extras[f"train_patches_per_sec_{other}"] = round(pps_other, 2)
+            if train_baseline:
+                extras[f"vs_baseline_{other}"] = round(pps_other / train_baseline, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"extras: {other} train failed: {e!r}")
+        try:
+            spf = measure_inference("bfloat16")
+            extras["inference_sec_per_frame_bfloat16"] = round(spf, 3)
+            if infer_baseline:
+                extras["inference_vs_baseline"] = round(infer_baseline / spf, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"extras: inference failed: {e!r}")
 
     result = {
         "metric": f"train patches/sec/chip (24^3->48^3 x2 SR, batch {batch}, 8/4 resblocks, {dtype_name})",
         "value": round(pps, 2),
         "unit": "patches/sec",
-        "vs_baseline": round(pps / baseline, 2) if baseline else None,
+        "vs_baseline": round(pps / train_baseline, 2) if train_baseline else None,
     }
+    if extras:
+        result["extras"] = extras
     print(json.dumps(result), flush=True)
+
+
+def main_inference():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    spf = measure_inference(dtype_name)
+    baseline = _baseline("tf_cpu_inference_sec_per_frame")
+    print(json.dumps({
+        "metric": f"full-volume inference sec/frame (42x38x36 -> 84x76x72, {dtype_name})",
+        "value": round(spf, 3),
+        "unit": "sec/frame",
+        "vs_baseline": round(baseline / spf, 2) if baseline else None,
+    }), flush=True)
 
 
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "inference":
-        bench_inference()
+        main_inference()
     else:
         main()

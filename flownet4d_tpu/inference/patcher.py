@@ -93,13 +93,22 @@ class PatchGenerator:
     # ------------------------------------------------------------------ #
 
     def _patchup_with_overlap(self, patches: np.ndarray, x: int, y: int, z: int):
-        """Stitch (N, P, P, P) HR patches back to a volume (ref :116-154)."""
+        """Stitch (N, P, P, P) HR patches back to a volume (ref :116-154).
+
+        Also accepts pre-cropped (N, n, n, n) cores — the predictor crops
+        the 2*res halo on device so only core bytes cross the wire.
+        """
         side_pad = (self.patch_size - self.effective_patch_size) // 2
         s = side_pad * self.res_increase
         p_hr = patches.shape[1]
-        n = p_hr - 2 * s
+        full_hr = self.patch_size * self.res_increase
 
-        core = patches[:, s : s + n, s : s + n, s : s + n]
+        if p_hr == full_hr - 2 * s:  # already cropped on device
+            n = p_hr
+            core = patches
+        else:
+            n = p_hr - 2 * s
+            core = patches[:, s : s + n, s : s + n, s : s + n]
         core = core.reshape(x, y, z, n, n, n)
         vol = core.transpose(0, 3, 1, 4, 2, 5).reshape(x * n, y * n, z * n)
 

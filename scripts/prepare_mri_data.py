@@ -1,7 +1,9 @@
 """DICOM -> HDF5 ingestion CLI for 4D flow MRI cases.
 
 Reference entry point: /root/reference/src/prepare_data/prepare_mri_data.py
-(argparse CLI at :54-63). Requires the optional 'pydicom' dependency.
+(argparse CLI at :54-63). Uses pydicom when installed; otherwise the
+vendored minimal reader (flownet4d_tpu/prepare_data/dicom_lite.py,
+uncompressed little-endian DICOM).
 """
 
 import argparse
