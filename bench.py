@@ -11,7 +11,7 @@ sec/frame from the same process, so every round's driver artifact captures
 all three numbers (VERDICT round-1 item 4). Diagnostics go to stderr.
 
 Env knobs: BENCH_MODE=inference (inference-only headline), BENCH_DTYPE,
-BENCH_BATCH, BENCH_STEPS, BENCH_SCAN, BENCH_REMAT,
+BENCH_BATCH, BENCH_STEPS, BENCH_REMAT,
 BENCH_EXTRAS=0 (skip the f32/inference extras).
 """
 
@@ -22,6 +22,9 @@ import sys
 import time
 
 import numpy as np
+
+
+_PROCESS_T0 = time.time()
 
 
 def log(*a):
@@ -84,13 +87,10 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
     # Default: auto (remat on for f32, off for bf16 — see TrainerController).
     remat_env = os.environ.get("BENCH_REMAT", "")
     remat = None if remat_env == "" else remat_env == "1"
-    # Fused multi-step scan measured slower than single-step dispatch on the
-    # relay-attached chip (566 vs 738 ms/step at K=10); default to 1.
-    scan_steps = int(os.environ.get("BENCH_SCAN", "1"))
     tc = TrainerController(
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
-        remat=remat, steps_per_dispatch=scan_steps,
+        remat=remat,
     )
 
     rng = np.random.default_rng(0)
@@ -109,30 +109,39 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
 
     # Warmup (compile) + true sync via host readback (block_until_ready does
     # not reliably fence on relay-attached TPUs).
-    n_steps = int(os.environ.get("BENCH_STEPS", str(max(20, 2 * scan_steps))))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     def run_steps(batches):
         metrics = None
-        if scan_steps > 1:
-            for g, _n in tc._device_groups(batches):
-                tc.state, metrics = tc._train_scan(tc.state, g)
-        else:
-            for dev_batch in tc._device_batches(batches):
-                tc.state, metrics = tc._train_step(tc.state, dev_batch, train=True)
+        for dev_batch in tc._device_batches(batches):
+            tc.state, metrics = tc._train_step(tc.state, dev_batch, train=True)
         return metrics
 
     import jax
 
     t0 = time.time()
-    run_steps([make_batch() for _ in range(scan_steps)])
+    run_steps([make_batch()])
     _ = int(np.asarray(tc.state.step))
-    log(f"compile+first dispatch ({scan_steps} fused steps): "
-        f"{time.time()-t0:.1f}s ({dtype_name})")
+    log(f"compile+first dispatch: {time.time()-t0:.1f}s ({dtype_name})")
 
-    # Untimed warm-up: the relay's transfer/dispatch path takes ~1 window to
-    # reach steady state (measured 7 -> 18 -> 21 patches/s across windows).
-    run_steps([make_batch() for _ in range(10)])
-    _ = int(np.asarray(tc.state.step))
+    # Untimed warm-up. The relay runs slow (~3-5x) for the first ~110 s of
+    # *process wall-clock* regardless of step count (measured across two
+    # runs: steady state always arrived ~110 s after process start,
+    # whether warm-up was 10 or 60 steps), then settles. So warm up on a
+    # clock — until the process is >115 s old — and then until two
+    # consecutive 10-step probes agree within 20%.
+    prev_rate = 0.0
+    for probe in range(30):
+        t0 = time.time()
+        run_steps([make_batch() for _ in range(10)])
+        _ = int(np.asarray(tc.state.step))
+        rate = batch * 10 / (time.time() - t0)
+        age = time.time() - _PROCESS_T0
+        log(f"warm-up probe {probe+1}: {rate:.2f} patches/s (process age {age:.0f}s)")
+        if age > 115 and prev_rate > 0 and \
+                abs(rate - prev_rate) / max(rate, prev_rate) < 0.20:
+            break
+        prev_rate = rate
 
     # Distinct numpy batches, pipelined upload — the train_network hot loop.
     # Relay-attached chips show 2-3x run-to-run variance; report the median

@@ -83,9 +83,6 @@ class TrainerController:
         #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
         packed_transfer: bool = True,  # f16/u8 wire format (see data/packed.py);
         #                                set False for bit-exact f32 input parity
-        steps_per_dispatch: int = 1,  # K>1 fuses K optimizer steps into one
-        #                               lax.scan dispatch: K batches upload as one
-        #                               super-batch and run without host round trips
         lr_schedule=None,  # optional optax schedule (step -> lr); the reference
         #                    keeps a fixed lr (adjust_learning_rate is commented
         #                    out at TrainerController.py:280)
@@ -113,7 +110,6 @@ class TrainerController:
             # (data/packed.py). --no-packed-transfer restores bit-exact f32.
             print("Packed f16 wire transfer active (inputs quantized in "
                   "flight; use packed_transfer=False for bit-exact f32 inputs)")
-        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self._quicksave_batch = None
         self.latest_every = max(1, latest_every)
         self.start_epoch = 0  # set by resume_from()
@@ -158,7 +154,6 @@ class TrainerController:
 
         self._train_step = jax.jit(self._step, static_argnames=("train",), donate_argnums=0)
         self._eval_step = jax.jit(partial(self._step, train=False))
-        self._train_scan = jax.jit(self._multi_step, donate_argnums=0)
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"SR4DFlowNet: {n_params/1e6:.2f}M params, "
@@ -230,21 +225,6 @@ class TrainerController:
             _, (metrics, pred) = objective(state.params)
             return state, metrics, pred
 
-    def _multi_step(self, state: TrainState, group):
-        """K fused optimizer steps over a (K, ...)-stacked batch group.
-
-        One XLA dispatch executes K sequential train steps; metric sums
-        accumulate on device. Zero-weight padding groups are inert (all
-        denominators carry +1 epsilons; padded samples have weight 0).
-        """
-        def body(st, batch):
-            new_st, metrics = self._step(st, batch, train=True)
-            return new_st, metrics
-
-        state, stacked = jax.lax.scan(body, state, group)
-        metrics = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), stacked)
-        return state, metrics
-
     # ------------------------------------------------------------------ #
     # Public step API
 
@@ -273,40 +253,6 @@ class TrainerController:
             batch = pack_batch(batch)
         return shard_batch(batch, self.mesh)
 
-    def _device_groups(self, dataset):
-        """Group K host batches into one (K, ...) super-batch per dispatch,
-        uploaded with one-group lookahead. Short trailing groups are padded
-        with zero-weight batches so jit sees one static shape."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        K = self.steps_per_dispatch
-        group_sharding = NamedSharding(self.mesh, P(None, "data"))
-
-        def put_group(batches):
-            n_real = len(batches)
-            packed = [pack_batch(b) if self.packed_transfer else b for b in batches]
-            while len(packed) < K:
-                packed.append(jax.tree_util.tree_map(np.zeros_like, packed[0]))
-            stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *packed)
-            return put_with_sharding(stacked, group_sharding), n_real
-
-        it = iter(dataset)
-        cur = None
-        while True:
-            chunk = []
-            for batch in it:
-                chunk.append(batch)
-                if len(chunk) == K:
-                    break
-            if not chunk:
-                if cur is not None:
-                    yield cur
-                return
-            nxt = put_group(chunk)
-            if cur is not None:
-                yield cur
-            cur = nxt
-
     def train_step(self, batch) -> None:
         self.state, metrics = self._train_step(self.state, self._put(batch), train=True)
         self._update_metrics(metrics, "train")
@@ -329,7 +275,7 @@ class TrainerController:
         self.loss_metrics[f"{metric_set}_div"].update(metrics["div_sum"], count)
         self.loss_metrics[f"{metric_set}_accuracy"].update(metrics["acc_sum"], count)
         if metric_set == "train":
-            # 'l2' is summed over the fused steps of a dispatch group.
+            # 'steps' is 0 for all-padding batches so they don't skew the mean.
             self.loss_metrics["l2_reg_loss"].update(metrics["l2"], float(metrics.get("steps", 1.0)))
 
     # ------------------------------------------------------------------ #
@@ -455,21 +401,11 @@ class TrainerController:
             self.loss_metrics.reset()
             start_loop = time.time()
 
-            if self.steps_per_dispatch > 1:
-                batch_iter = (
-                    (g, n) for g, n in self._device_groups(trainset)
-                )
-            else:
-                batch_iter = ((b, 1) for b in self._device_batches(trainset))
-
             i = 0
-            for dev_batch, n_batches in batch_iter:
-                if self.steps_per_dispatch > 1:
-                    self.state, metrics = self._train_scan(self.state, dev_batch)
-                else:
-                    self.state, metrics = self._train_step(self.state, dev_batch, train=True)
+            for dev_batch in self._device_batches(trainset):
+                self.state, metrics = self._train_step(self.state, dev_batch, train=True)
                 self._update_metrics(metrics, "train")
-                i += n_batches
+                i += 1
                 msg = (
                     f"Epoch {epoch+1} Train batch {i}/{total_batch_train} | "
                     f"loss: {self.loss_metrics['train_loss'].result():.5f} "

@@ -31,6 +31,57 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def report_top_ops(profile_dir: str, n_steps: int, top: int = 10) -> None:
+    """Parse the freshest *.trace.json.gz and print per-op and per-category
+    device-time tables (amortised over ``n_steps`` traced steps).
+
+    The relay backend's traces carry ``hlo_category``, ``model_flops`` and
+    ``bytes_accessed`` per device event, so no tensorboard is needed.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = glob.glob(os.path.join(profile_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        log("no trace.json.gz produced")
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+
+    per_op = defaultdict(lambda: [0.0, 0, "", 0.0, 0.0])  # ms, count, cat, GF, GB
+    per_cat = defaultdict(lambda: [0.0, 0.0, 0.0])  # ms, GF, GB
+    total_ms = 0.0
+    for e in data.get("traceEvents", []):
+        a = e.get("args") or {}
+        if e.get("ph") != "X" or "hlo_category" not in a:
+            continue
+        ms = e.get("dur", 0) / 1e3
+        cat = a["hlo_category"]
+        gf = float(a.get("model_flops", 0) or 0) / 1e9
+        gb = float(a.get("bytes_accessed", 0) or 0) / 1e9
+        rec = per_op[e["name"]]
+        rec[0] += ms; rec[1] += 1; rec[2] = cat; rec[3] += gf; rec[4] += gb
+        c = per_cat[cat]
+        c[0] += ms; c[1] += gf; c[2] += gb
+        total_ms += ms
+
+    log(f"\n=== device time by category ({total_ms/n_steps:.1f} ms/step traced) ===")
+    for cat, (ms, gf, gb) in sorted(per_cat.items(), key=lambda kv: -kv[1][0]):
+        tfs = gf / ms if ms else 0.0  # GF/ms == TF/s
+        log(f"  {cat:24s} {ms/n_steps:7.1f} ms/step ({100*ms/total_ms:4.1f}%)  "
+            f"{tfs:6.1f} TF/s  {gb/n_steps:6.2f} GB/step")
+    log(f"\n=== top {top} ops ===")
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:top]
+    for name, (ms, cnt, cat, gf, gb) in rows:
+        tfs = gf / ms if ms else 0.0
+        log(f"  {ms/n_steps:7.2f} ms/step ({100*ms/total_ms:4.1f}%) {cat:12s} "
+            f"{tfs:6.1f} TF/s  x{cnt//n_steps:<3d} {name[:70]}")
+
+
 def make_inputs(batch=8, patch=24, res=2, seed=0):
     rng = np.random.default_rng(seed)
     P = patch * res
@@ -53,6 +104,7 @@ def main():
     ap.add_argument("--profile-dir", default="/tmp/jax_trace")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--top", type=int, default=10)
     args = ap.parse_args()
 
     from flownet4d_tpu.utils.cache import enable_compilation_cache
@@ -139,12 +191,7 @@ def main():
                 step()
             sync()
             jax.profiler.stop_trace()
-            found = []
-            for root, _d, files in os.walk(args.profile_dir):
-                for f in files:
-                    p = os.path.join(root, f)
-                    found.append((p, os.path.getsize(p)))
-            log(f"trace files: {found}")
+            report_top_ops(args.profile_dir, n_steps=5, top=args.top)
         except Exception as e:
             log(f"profiler trace FAILED on this backend: {type(e).__name__}: {e}")
 

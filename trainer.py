@@ -64,8 +64,6 @@ def main():
     p.add_argument("--n-parallel", type=int, default=4, help="loader worker threads")
     p.add_argument("--no-packed-transfer", action="store_true",
                    help="disable the f16/u8 wire format (bit-exact f32 inputs)")
-    p.add_argument("--steps-per-dispatch", type=int, default=1,
-                   help="fuse K optimizer steps into one lax.scan dispatch")
     p.add_argument("--remat", dest="remat", action="store_true", default=None,
                    help="force residual-block rematerialization on")
     p.add_argument("--no-remat", dest="remat", action="store_false",
@@ -122,7 +120,6 @@ def main():
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         models_dir=args.models_dir,
         packed_transfer=not args.no_packed_transfer,
-        steps_per_dispatch=args.steps_per_dispatch,
         remat=args.remat,
         fused_boundary=not args.no_fused_boundary,
         div_weight=args.div_weight,
