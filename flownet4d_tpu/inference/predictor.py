@@ -181,19 +181,68 @@ class VolumePredictor:
         round_small_values: bool = True,
         verbose: bool = True,
     ) -> None:
-        """Full predictor.py workflow over every time frame (ref :67-115)."""
+        """Full predictor.py workflow over every time frame (ref :67-115).
+
+        Frames are pipelined: frame i+1's HDF5 load + patchify + device
+        upload + forward dispatch are all enqueued before frame i's results
+        are read back and stitched, so host IO and relay transfers overlap
+        device compute across the whole time series (all dispatch stays on
+        the main thread — background upload threads deadlock on
+        relay-attached TPUs).
+        """
         dataset = VolumeDataset()
         nr_rows = dataset.get_dataset_len(input_filepath)
         os.makedirs(os.path.dirname(os.path.abspath(output_filepath)), exist_ok=True)
 
-        for nrow in range(nr_rows):
-            t0 = time.time()
-            dataset.load_vectorfield(input_filepath, nrow)
-            comps = self.predict_volume(dataset, round_small_values)
-            for name, comp in zip(dataset.velocity_colnames, comps):
+        def dispatch(nrow):
+            """Load + patchify + enqueue every batch of one frame."""
+            ds = VolumeDataset()
+            ds.load_vectorfield(input_filepath, nrow)
+            pgen = PatchGenerator(self.patch_size, self.res_increase)
+            vel, mag = pgen.patchify_stacked(ds)
+            b = self.batch_size
+            preds = []
+            for start in range(0, vel.shape[0], b):
+                stop = min(start + b, vel.shape[0])
+                v, m = vel[start:stop], mag[start:stop]
+                if stop - start < b:
+                    pad = b - (stop - start)
+                    v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                    m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
+                v = jax.device_put(v.astype(self.transfer_dtype), self._batch_sharding)
+                m = jax.device_put(m.astype(self.transfer_dtype), self._batch_sharding)
+                preds.append((start, stop, self._forward(self.params, v, m)))
+            return ds, pgen, vel.shape[0], preds
+
+        def finish(item, t0):
+            ds, pgen, n, preds = item
+            core = self.patch_size * self.res_increase - 4 * self.res_increase
+            out = np.empty((n, core, core, core, 3), np.float32)
+            for start, stop, pred in preds:
+                out[start:stop] = np.asarray(jax.device_get(pred), np.float32)[: stop - start]
+            comps = []
+            for i, comp in enumerate(pgen.unpatchify(out)):
+                comp = comp * ds.venc
+                if round_small_values:
+                    comp = np.where(np.abs(comp) < ds.velocity_per_px, 0.0, comp)
+                comps.append(comp.astype(np.float32))
+            for name, comp in zip(ds.velocity_colnames, comps):
                 append_to_h5(output_filepath, name, comp[None], compression="gzip")
-            if dataset.dx is not None:
-                new_spacing = dataset.dx / self.res_increase
-                append_to_h5(output_filepath, dataset.dx_colname, new_spacing[None], compression="gzip")
+            if ds.dx is not None:
+                new_spacing = ds.dx / self.res_increase
+                append_to_h5(output_filepath, ds.dx_colname, new_spacing[None], compression="gzip")
+
+        cur = None
+        t0 = time.time()
+        for nrow in range(nr_rows):
+            nxt = dispatch(nrow)
+            if cur is not None:
+                finish(cur, t0)
+                if verbose:
+                    print(f"frame {nrow}/{nr_rows} done in {time.time()-t0:.2f}s")
+                t0 = time.time()
+            cur = nxt
+        if cur is not None:
+            finish(cur, t0)
             if verbose:
-                print(f"frame {nrow+1}/{nr_rows} done in {time.time()-t0:.2f}s")
+                print(f"frame {nr_rows}/{nr_rows} done in {time.time()-t0:.2f}s")

@@ -228,3 +228,30 @@ def test_sigterm_checkpoint_and_elastic_resume(tmp_path):
         content = f.read()
     assert content.count("Network: tiny") == 1
     assert "Resumed from" in content
+
+
+def test_predict_file_matches_predict_volume(tmp_path):
+    """The pipelined multi-frame predict_file writes exactly what per-frame
+    predict_volume computes (plus halved dx), for every time frame."""
+    import h5py
+    from flownet4d_tpu.inference import VolumePredictor
+    from flownet4d_tpu.data.volume import VolumeDataset
+
+    src = f"{REFERENCE_DATA_DIR}/example_data.h5"
+    out = str(tmp_path / "sr.h5")
+    pred = VolumePredictor(12, 2, 8, 1, 1, mesh=make_mesh(jax.devices()[:1]),
+                          seed=5, channels=16)
+    pred.predict_file(src, out, verbose=False)
+
+    ds = VolumeDataset()
+    n = ds.get_dataset_len(src)
+    assert n >= 1
+    with h5py.File(out) as f:
+        assert f["u"].shape[0] == n
+        for nrow in range(n):
+            ds.load_vectorfield(src, nrow)
+            u, v, w = pred.predict_volume(ds)
+            np.testing.assert_allclose(np.asarray(f["u"][nrow]), u, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(f["v"][nrow]), v, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(f["w"][nrow]), w, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f["dx"][0]), ds.dx / 2)
