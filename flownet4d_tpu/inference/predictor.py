@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.sr4dflownet import SR4DFlowNet, SR4DFlowNetConfig
+from ..utils.cache import XLA_COMPILER_OPTIONS
 from ..parallel.mesh import make_mesh, batch_sharding, replicated_sharding, put_with_sharding
 from ..data.volume import VolumeDataset
 from ..io.h5 import append_to_h5
@@ -84,7 +85,7 @@ class VolumePredictor:
             pred = self.model.apply({"params": params}, vel, mag)
             return pred[:, s:P - s, s:P - s, s:P - s, :].astype(out_dtype)
 
-        self._forward = jax.jit(fwd)
+        self._forward = jax.jit(fwd, compiler_options=XLA_COMPILER_OPTIONS)
 
     # ------------------------------------------------------------------ #
 

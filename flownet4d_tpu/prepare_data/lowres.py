@@ -101,7 +101,15 @@ def generate_lowres_dataset(
             append_to_h5(output_filepath, name, data, expand_dims=True)
 
         if not mask_saved:
-            new_mask = ndimage.zoom(mask, crop_ratio, order=1)
+            # Zoom to the *actual* LR velocity shape, not by crop_ratio: the
+            # k-space crop keeps 2*int(half*ratio) bins per axis, so for
+            # dims not divisible by the factor (e.g. 84 at 4x -> 20, not 21)
+            # a ratio-zoomed mask would disagree with the velocity grids
+            # (the reference zooms by ratio, prepare_lowres_dataset.py, and
+            # inherits that mismatch; identical output whenever the dims
+            # divide evenly — the golden-tested 2x case).
+            factors = tuple(l / h for l, h in zip(lr_u.shape, mask.shape))
+            new_mask = ndimage.zoom(mask, factors, order=1)
             append_to_h5(output_filepath, "mask", new_mask, expand_dims=True)
             mask_saved = True
 

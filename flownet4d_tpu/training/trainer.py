@@ -45,6 +45,7 @@ from ..parallel.mesh import make_mesh, shard_batch, replicated_sharding, put_wit
 from ..io.h5 import save_predictions
 from ..utils.logging import log_to_file, calculate_time_elapsed, SummaryLogger
 from ..data.packed import PackedBatch, pack_batch, unpack_batch
+from ..utils.cache import XLA_COMPILER_OPTIONS
 from .metrics import MetricSet
 from . import checkpoint as ckpt
 
@@ -152,8 +153,10 @@ class TrainerController:
 
         self.loss_metrics = MetricSet()
 
-        self._train_step = jax.jit(self._step, static_argnames=("train",), donate_argnums=0)
-        self._eval_step = jax.jit(partial(self._step, train=False))
+        self._train_step = jax.jit(self._step, static_argnames=("train",), donate_argnums=0,
+                                   compiler_options=XLA_COMPILER_OPTIONS)
+        self._eval_step = jax.jit(partial(self._step, train=False),
+                                  compiler_options=XLA_COMPILER_OPTIONS)
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"SR4DFlowNet: {n_params/1e6:.2f}M params, "

@@ -23,3 +23,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# Workaround for an XLA:TPU compiler crash: the space-to-batch-converter
+# pass CHECK-fails (space_to_batch_converter.cc:543, "halo_size -
+# low_padding <= spatial_split_size") on the fused-boundary face-slab
+# convolutions at small batch sizes (reproduced: batch 4 + patch 16
+# crashes, batch 8 or patch 12 are fine — scripts/smoke_configs.py first
+# hit it at BASELINE configs[0]). The pass only rewrites small-batch
+# convolutions, so disabling it is a no-op for the batch>=8 hot path and
+# unbreaks batch<=4 configs. Applied to every train/eval/forward jit.
+XLA_COMPILER_OPTIONS = {
+    "xla_disable_hlo_passes": "space-to-batch-converter",
+}

@@ -99,14 +99,15 @@ def run_config2(epochs: int, workdir: str = "/tmp/smoke4x") -> dict:
     tc.train_network(trainset, val, n_epoch=epochs)
     dt = time.time() - t0
 
-    # 4x predictor end-to-end: 21x19x18 -> 84x76x72.
+    # 4x predictor end-to-end: (20,18,18) LR -> (80,72,72) SR (the k-space
+    # crop keeps 2*int(half/4) bins per axis, so 84x76x72 -> 20x18x18).
     pred = VolumePredictor(8, 4, 16, 2, 1, params=jax.device_get(tc.state.params))
     ds = VolumeDataset()
     ds.load_vectorfield(lr4, 0)
     t1 = time.time()
     u, v, w = pred.predict_volume(ds)
     t_pred = time.time() - t1
-    assert u.shape == (84, 76, 72), u.shape
+    assert u.shape == tuple(4 * s for s in ds.u.shape), (u.shape, ds.u.shape)
     return {
         "config": "configs[2] 4x SR patch8->32 batch4 2/1 resblocks (generated 4x set)",
         "prep_sec": round(t_prep, 1),

@@ -49,6 +49,20 @@ def test_generate_lowres_dataset_schema(tmp_path):
             assert np.abs(h[comp][:]).max() <= h[venc_col][:].max() + 1e-6
 
 
+def test_lowres_mask_matches_velocity_grid_at_odd_factors(tmp_path):
+    """When dims don't divide by the factor, the k-space crop keeps
+    2*int(half*ratio) bins; the saved mask must follow the *actual* LR
+    shape (ratio-zoom would disagree: 21 @ 4x -> vel 4, ratio-zoom 5)."""
+    hr = str(tmp_path / "hr.h5")
+    lr = str(tmp_path / "lr.h5")
+    _make_hr(hr, n_frames=1, size=21)
+
+    generate_lowres_dataset(hr, lr, downsample=4, seed=2, verbose=False)
+    with h5py.File(lr) as h:
+        assert h["u"].shape[1:] == (4, 4, 4)
+        assert h["mask"].shape[1:] == h["u"].shape[1:]
+
+
 def test_lowres_output_trains(tmp_path):
     """The generated LR pairs feed the training pipeline unchanged."""
     import shutil
