@@ -66,6 +66,10 @@ class SR4DFlowNetConfig:
     # (the fused-boundary body is 7 convs, so unrolled compiles took
     # 157-353s on TPU). Identical math and param tree; False unrolls.
     scan_blocks: bool = True
+    # lax.scan unroll factor for the residual stacks: >1 copies the block
+    # body N times per loop iteration, trading a little compile time for
+    # less per-iteration loop overhead.
+    scan_unroll: int = 1
 
     def resolved_precision(self):
         if self.precision is not None:
@@ -249,7 +253,7 @@ class SR4DFlowNet(nn.Module):
 
             if cfg.remat_blocks:
                 body = jax.checkpoint(body)
-            h, _ = jax.lax.scan(body, h, (k1s, k2s))
+            h, _ = jax.lax.scan(body, h, (k1s, k2s), unroll=cfg.scan_unroll)
             return h
 
         x = run_blocks(x, cfg.low_resblock, "low_res_block")

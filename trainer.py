@@ -19,6 +19,36 @@ from flownet4d_tpu.data import PatchLoader, load_indexes
 from flownet4d_tpu.training import TrainerController
 
 
+def load_config_file(path: str, parser: argparse.ArgumentParser) -> dict:
+    """JSON/YAML -> argparse defaults dict; unknown keys are an error.
+
+    The reference configures by editing constants (trainer.py:13-39); this
+    is the file-based equivalent. CLI flags override file values.
+    """
+    with open(path) as f:
+        text = f.read()
+    try:
+        import json
+
+        cfg = json.loads(text)
+    except ValueError:
+        try:
+            import yaml  # type: ignore
+
+            cfg = yaml.safe_load(text)
+        except ImportError as e:
+            raise SystemExit(
+                f"{path} is not JSON and PyYAML is not installed"
+            ) from e
+    if not isinstance(cfg, dict):
+        raise SystemExit(f"{path} must contain a mapping of flag names")
+    valid = {a.dest for a in parser._actions}
+    unknown = set(cfg) - valid
+    if unknown:
+        raise SystemExit(f"unknown config keys in {path}: {sorted(unknown)}")
+    return cfg
+
+
 def main():
     from flownet4d_tpu.utils.cache import enable_compilation_cache
 
@@ -82,6 +112,17 @@ def main():
                         "checkpoints for this)")
     p.add_argument("--latest-every", type=int, default=10,
                    help="epoch cadence for the -latest.ckpt autosave")
+    p.add_argument("--config", default=None, metavar="FILE",
+                   help="JSON or YAML file of flag defaults (keys use "
+                        "underscores, e.g. patch_size); explicit CLI flags "
+                        "still win")
+    # Pre-scan --config with a help-less parser so the file is applied
+    # before --help renders (and its defaults show up in the help text).
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    cfg_probe, _ = pre.parse_known_args()
+    if cfg_probe.config:
+        p.set_defaults(**load_config_file(cfg_probe.config, p))
     args = p.parse_args()
 
     training_file = args.training_file or f"{args.data_dir}/train.csv"
