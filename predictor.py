@@ -9,6 +9,8 @@ zero sub-sensitivity values, append u/v/w (+ halved dx) to the output.
 import argparse
 import os
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from flownet4d_tpu.inference import VolumePredictor
@@ -35,6 +37,9 @@ def main():
     p.add_argument("--low-resblock", type=int, default=8)
     p.add_argument("--hi-resblock", type=int, default=4)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
+    p.add_argument("--f16-transfer", action="store_true",
+                   help="ship inputs/outputs over the wire as float16 "
+                        "(halves transfer bytes; ~5e-4 rel quantisation)")
     args = p.parse_args()
 
     input_filepath = os.path.join(args.data_dir, args.filename)
@@ -48,6 +53,7 @@ def main():
         args.low_resblock,
         args.hi_resblock,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        transfer_dtype=np.float16 if args.f16_transfer else np.float32,
     )
     if args.model_path and os.path.exists(args.model_path):
         predictor.load_weights(args.model_path, keras=args.keras)
