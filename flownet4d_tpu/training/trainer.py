@@ -82,6 +82,11 @@ class TrainerController:
         #   311 ms/step, docs/performance.md round 2).
         fused_boundary: bool = True,  # boundary-corrected SAME convs instead
         #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
+        precision: str | None = None,  # MXU precision override: 'default'
+        #   (1-pass bf16), 'high' (3-pass bf16x3), 'highest' (6-pass, the
+        #   f32 parity mode). None = auto (highest for f32, default for
+        #   bf16). 'high' is the middle ground: f32 params with ~2x the
+        #   throughput of strict parity mode.
         packed_transfer: bool = True,  # f16/u8 wire format (see data/packed.py);
         #                                set False for bit-exact f32 input parity
         lr_schedule=None,  # optional optax schedule (step -> lr); the reference
@@ -119,6 +124,13 @@ class TrainerController:
 
         if remat is None:
             remat = compute_dtype == jnp.float32
+        prec = None
+        if precision is not None:
+            prec = {
+                "default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST,
+            }[precision]
         self.config = SR4DFlowNetConfig(
             res_increase=res_increase,
             low_resblock=low_resblock,
@@ -127,6 +139,7 @@ class TrainerController:
             dtype=compute_dtype,
             remat_blocks=remat,
             fused_boundary=fused_boundary,
+            precision=prec,
         )
         self.model = SR4DFlowNet(self.config)
 

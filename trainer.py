@@ -91,6 +91,11 @@ def main():
     p.add_argument("--hi-resblock", type=int, default=hi_resblock)
     p.add_argument("--models-dir", default="models", help="where model run dirs are created")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
+    p.add_argument("--precision", choices=["default", "high", "highest"],
+                   default=None,
+                   help="MXU precision override (default: highest for f32 "
+                        "parity, 1-pass for bf16); 'high' = 3-pass bf16x3, "
+                        "~2x faster f32-params training than 'highest'")
     p.add_argument("--n-parallel", type=int, default=4, help="loader worker threads")
     p.add_argument("--no-packed-transfer", action="store_true",
                    help="disable the f16/u8 wire format (bit-exact f32 inputs)")
@@ -163,6 +168,7 @@ def main():
         packed_transfer=not args.no_packed_transfer,
         remat=args.remat,
         fused_boundary=not args.no_fused_boundary,
+        precision=args.precision,
         div_weight=args.div_weight,
         profile_dir=args.profile_dir,
         latest_every=args.latest_every,
