@@ -10,9 +10,9 @@ strict-f32 parity-mode training throughput and full-volume inference
 sec/frame from the same process, so every round's driver artifact captures
 all three numbers (VERDICT round-1 item 4). Diagnostics go to stderr.
 
-Env knobs: BENCH_MODE=inference (inference-only headline), BENCH_DTYPE,
-BENCH_BATCH, BENCH_STEPS, BENCH_REMAT,
-BENCH_EXTRAS=0 (skip the f32/inference extras).
+Env knobs: BENCH_MODE=inference (inference-only headline) or e2e
+(real-loader training headline), BENCH_DTYPE, BENCH_BATCH, BENCH_STEPS,
+BENCH_REMAT, BENCH_EXTRAS=0 (skip the e2e/f32/inference extras).
 """
 
 import gc
@@ -163,6 +163,72 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
     return pps, rates
 
 
+def measure_train_e2e(dtype_name: str) -> float:
+    """Steady-state patches/s of the REAL training loop — PatchLoader over
+    HDF5 + the actual TrainerController epoch loop (run_train_epoch), at
+    the paper config. This is the number train_network delivers end to
+    end, vs measure_train's synthetic in-memory upper bound (VERDICT r2
+    item 2). A patch-24 index over the bundled example volumes is
+    generated on the fly (the shipped CSVs were built for patch <= 16)."""
+    import contextlib
+    import tempfile
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from flownet4d_tpu.data import PatchLoader, load_indexes
+    from flownet4d_tpu.data.patch_index import write_header
+    from flownet4d_tpu.prepare_data.patch_data import generate_random_patches
+    from flownet4d_tpu.training import TrainerController
+
+    patch, res = 24, 2
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    data_dir = "/root/reference/data"
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_e2e_")
+    csv_path = os.path.join(tmpdir, "e2e_train.csv")
+    write_header(csv_path)
+    with h5py.File(os.path.join(data_dir, "example_data.h5"), "r") as hf:
+        mask = np.asarray(hf["mask"][0])
+    # prepare_patches semantics: LR mask >= 0.4, coverage >= 0.2, all 9
+    # rotations per accepted patch (reference prepare_patches.py:17-19).
+    generate_random_patches(
+        "example_data.h5", "example_data_HR.h5", csv_path, 0,
+        n_patch=32, binary_mask=(mask >= 0.4).astype(np.float32),
+        patch_size=patch, minimum_coverage=0.2, empty_patch_allowed=0,
+        apply_all_rotation=True, rng=np.random.default_rng(0),
+    )
+    rows = load_indexes(csv_path)  # 32 x 10 = 320 rows = 40 steps at batch 8
+    log(f"e2e: generated {len(rows)} patch-24 index rows")
+
+    loader = PatchLoader(data_dir, patch, res, batch)
+    trainset = loader.initialize_dataset(rows, shuffle=True, seed=0)
+    tc = TrainerController(
+        patch, res, 2e-4, False, "bench_e2e", 8, 4,
+        compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        models_dir="/tmp/bench_models",
+    )
+
+    rates = []
+    with contextlib.redirect_stdout(sys.stderr):
+        tc.run_train_epoch(trainset)  # compile + cache warm epoch
+        _ = int(np.asarray(tc.state.step))
+        for window in range(3):
+            t0 = time.time()
+            n = tc.run_train_epoch(trainset)
+            _ = int(np.asarray(tc.state.step))
+            dt = time.time() - t0
+            rates.append(n * batch / dt)
+            log(f"\ne2e window {window+1}: {n} steps in {dt:.2f}s -> "
+                f"{rates[-1]:.2f} patches/s")
+    pps = float(np.median(rates))
+    log(f"e2e loader stats: {loader.cache_stats()}")
+    del tc
+    gc.collect()
+    return pps
+
+
 def main():
     from flownet4d_tpu.utils.cache import enable_compilation_cache
 
@@ -184,6 +250,11 @@ def main():
     extras = {}
     if os.environ.get("BENCH_EXTRAS", "1") == "1":
         other = "float32" if dtype_name == "bfloat16" else "bfloat16"
+        try:
+            pps_e2e = measure_train_e2e(dtype_name)
+            extras["train_patches_per_sec_e2e"] = round(pps_e2e, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"extras: e2e train failed: {e!r}")
         try:
             pps_other, _ = measure_train(other)
             extras[f"train_patches_per_sec_{other}"] = round(pps_other, 2)
@@ -225,8 +296,25 @@ def main_inference():
     }), flush=True)
 
 
+def main_e2e():
+    from flownet4d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    pps = measure_train_e2e(dtype_name)
+    baseline = _baseline("tf_cpu_train_patches_per_sec")
+    print(json.dumps({
+        "metric": f"e2e train patches/sec/chip (real PatchLoader + epoch loop, {dtype_name})",
+        "value": round(pps, 2),
+        "unit": "patches/sec",
+        "vs_baseline": round(pps / baseline, 2) if baseline else None,
+    }), flush=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "inference":
         main_inference()
+    elif os.environ.get("BENCH_MODE") == "e2e":
+        main_e2e()
     else:
         main()

@@ -51,29 +51,79 @@ class TrainingBatch(NamedTuple):
 
 
 class _ArrayCache:
-    """LRU whole-column cache keyed by (path, column)."""
+    """LRU *frame-granular* cache over HDF5 columns.
+
+    Caching whole columns (the round-1/2 design) thrashes once a cohort
+    outgrows the byte budget: one evicted file costs a full multi-frame 4D
+    re-read per touching sample. Caching one time-frame at a time bounds
+    both the unit of memory and the unit of re-read to a single 3D volume
+    (a few MB), so cohorts far larger than ``max_bytes`` stream at a
+    sustained rate instead of collapsing. 1-D columns (the per-frame venc
+    scalars) are cached whole — they are bytes, not megabytes.
+
+    Counters (``hits``/``misses``/``evictions``/``bytes_read``) are plain
+    ints mutated under the lock; read them via ``stats()``.
+    """
 
     def __init__(self, max_bytes: int):
         self.max_bytes = max_bytes
         self._store: OrderedDict[tuple, np.ndarray] = OrderedDict()
         self._bytes = 0
         self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+        self.bytes_read = 0
 
-    def get(self, path: str, col: str) -> np.ndarray:
-        key = (path, col)
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "hits": self.hits,
+                "misses": self.misses,
+                "evictions": self.evictions,
+                "bytes_read": self.bytes_read,
+                "resident_bytes": self._bytes,
+                "entries": len(self._store),
+            }
+
+    def _lookup(self, key):
         with self._lock:
             if key in self._store:
                 self._store.move_to_end(key)
+                self.hits += 1
                 return self._store[key]
-        with h5py.File(path, "r") as hf:
-            arr = np.asarray(hf[col])
+            self.misses += 1
+        return None
+
+    def _insert(self, key, arr: np.ndarray) -> None:
         with self._lock:
+            self.bytes_read += arr.nbytes
             if key not in self._store:
                 self._store[key] = arr
                 self._bytes += arr.nbytes
                 while self._bytes > self.max_bytes and len(self._store) > 1:
                     _, old = self._store.popitem(last=False)
                     self._bytes -= old.nbytes
+                    self.evictions += 1
+
+    def get_frame(self, path: str, col: str, idx: int) -> np.ndarray:
+        """One time-frame ``column[idx]`` of a >=2-D column (3D volume)."""
+        key = (path, col, int(idx))
+        arr = self._lookup(key)
+        if arr is None:
+            with h5py.File(path, "r") as hf:
+                arr = np.asarray(hf[col][int(idx)])
+            self._insert(key, arr)
+        return arr
+
+    def get_column(self, path: str, col: str) -> np.ndarray:
+        """A whole (small, e.g. 1-D venc) column."""
+        key = (path, col, None)
+        arr = self._lookup(key)
+        if arr is None:
+            with h5py.File(path, "r") as hf:
+                arr = np.asarray(hf[col])
+            self._insert(key, arr)
         return arr
 
 
@@ -138,6 +188,10 @@ class PatchLoader:
         """Build an iterable dataset of TrainingBatch (PatchHandler3D.py:20-38)."""
         return PatchDataset(self, list(indexes), shuffle, n_parallel or 4, seed)
 
+    def cache_stats(self) -> dict:
+        """Hit/miss/eviction/IO counters of the frame cache."""
+        return self._cache.stats()
+
     # ------------------------------------------------------------------ #
 
     def load_sample(self, row: PatchIndexRow):
@@ -149,11 +203,10 @@ class PatchLoader:
         hr_path = os.path.join(self.data_dir, row.target)
         x, y, z, idx = row.start_x, row.start_y, row.start_z, row.index
 
-        lr_sl = np.index_exp[idx, x : x + p, y : y + p, z : z + p]
-        hr_sl = np.index_exp[idx, x * r : x * r + P, y * r : y * r + P, z * r : z * r + P]
-        mask_sl = np.index_exp[0, x * r : x * r + P, y * r : y * r + P, z * r : z * r + P]
+        lr_sl = np.index_exp[x : x + p, y : y + p, z : z + p]
+        hr_sl = np.index_exp[x * r : x * r + P, y * r : y * r + P, z * r : z * r + P]
 
-        vol_shape = self._cache.get(lr_path, self.lr_colnames[0]).shape[1:]
+        vol_shape = self._cache.get_frame(lr_path, self.lr_colnames[0], idx).shape
         if any(s + p > dim for s, dim in zip((x, y, z), vol_shape)):
             raise ValueError(
                 f"patch [{x}:{x+p}, {y}:{y+p}, {z}:{z+p}] exceeds LR volume "
@@ -161,13 +214,14 @@ class PatchLoader:
                 f"generated for a smaller patch_size than {p}?"
             )
 
-        lr = np.stack([self._cache.get(lr_path, c)[lr_sl] for c in self.lr_colnames], -1)
-        mag = np.stack([self._cache.get(lr_path, c)[lr_sl] for c in self.mag_colnames], -1)
-        hr = np.stack([self._cache.get(hr_path, c)[hr_sl] for c in self.hr_colnames], -1)
-        mask = self._cache.get(hr_path, self.mask_colname)[mask_sl]
+        lr = np.stack([self._cache.get_frame(lr_path, c, idx)[lr_sl] for c in self.lr_colnames], -1)
+        mag = np.stack([self._cache.get_frame(lr_path, c, idx)[lr_sl] for c in self.mag_colnames], -1)
+        hr = np.stack([self._cache.get_frame(hr_path, c, idx)[hr_sl] for c in self.hr_colnames], -1)
+        # HR mask is always read from time-frame 0 (PatchHandler3D.py:67).
+        mask = self._cache.get_frame(hr_path, self.mask_colname, 0)[hr_sl]
         mask = (mask >= self.mask_threshold).astype(np.float32)
 
-        venc = max(float(self._cache.get(lr_path, c)[idx]) for c in self.venc_colnames)
+        venc = max(float(self._cache.get_column(lr_path, c)[idx]) for c in self.venc_colnames)
 
         lr = (lr / venc).astype(np.float32)
         hr = (hr / venc).astype(np.float32)

@@ -108,14 +108,27 @@ class VolumePredictor:
                 opt = optax.adam(1e-4)
                 template = TrainState(host_params, opt.init(host_params), jnp.zeros((), jnp.int32))
                 params = ckpt.restore_train_state(path, template).params
-            except Exception:
+            except (ValueError, KeyError, TypeError) as template_err:
+                # Tree-structure mismatch (checkpoint written with a
+                # different optimizer/schedule state): retry as a raw
+                # restore. Anything else (missing/corrupt checkpoint, IO
+                # errors) propagates immediately. If the raw path fails
+                # too, surface the original template error as context
+                # rather than a confusing downstream shape error.
                 import orbax.checkpoint as ocp
 
-                raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
-                raw_params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw[0]
-                params = jax.tree_util.tree_map(
-                    lambda t, a: jnp.asarray(a, t.dtype), host_params, raw_params
-                )
+                try:
+                    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+                    raw_params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw[0]
+                    params = jax.tree_util.tree_map(
+                        lambda t, a: jnp.asarray(a, t.dtype), host_params, raw_params
+                    )
+                except Exception as raw_err:
+                    raise ValueError(
+                        f"checkpoint at {path!r} matches neither the "
+                        f"TrainState template ({template_err}) nor a raw "
+                        f"params tree ({raw_err})"
+                    ) from template_err
         else:
             params = ckpt.load_weights_h5(path, host_params)
         self.params = put_with_sharding(params, replicated_sharding(self.mesh))
@@ -189,8 +202,16 @@ class VolumePredictor:
         are read back and stitched, so host IO and relay transfers overlap
         device compute across the whole time series (all dispatch stays on
         the main thread — background upload threads deadlock on
-        relay-attached TPUs).
+        relay-attached TPUs; readbacks stay there too for the same reason).
+        Stitching + denormalisation + the gzip'd HDF5 appends run on a
+        single writer thread consuming an ordered queue, so frame i's
+        host-side output work overlaps frame i+1's transfers and compute
+        instead of serialising against them. One writer thread keeps the
+        appends in frame order (the output datasets grow along axis 0).
         """
+        import queue
+        import threading
+
         dataset = VolumeDataset()
         nr_rows = dataset.get_dataset_len(input_filepath)
         os.makedirs(os.path.dirname(os.path.abspath(output_filepath)), exist_ok=True)
@@ -215,35 +236,67 @@ class VolumePredictor:
                 preds.append((start, stop, self._forward(self.params, v, m)))
             return ds, pgen, vel.shape[0], preds
 
-        def finish(item, t0):
+        write_q: queue.Queue = queue.Queue(maxsize=2)
+        write_err: list = []
+        _SENTINEL = object()
+
+        def writer():
+            try:
+                while True:
+                    item = write_q.get()
+                    if item is _SENTINEL:
+                        return
+                    ds, pgen, out = item
+                    for name, comp in zip(ds.velocity_colnames, pgen.unpatchify(out)):
+                        comp = comp * ds.venc
+                        if round_small_values:
+                            comp = np.where(np.abs(comp) < ds.velocity_per_px, 0.0, comp)
+                        append_to_h5(output_filepath, name, comp[None].astype(np.float32),
+                                     compression="gzip")
+                    if ds.dx is not None:
+                        new_spacing = ds.dx / self.res_increase
+                        append_to_h5(output_filepath, ds.dx_colname, new_spacing[None],
+                                     compression="gzip")
+            except BaseException as e:  # surface to the main thread
+                write_err.append(e)
+                # Drain so the producer never blocks on a dead writer.
+                try:
+                    while write_q.get_nowait() is not _SENTINEL:
+                        pass
+                except queue.Empty:
+                    pass
+
+        def finish(item):
+            """Read back one frame's patches (main thread) and hand the
+            stitch + write to the writer thread."""
             ds, pgen, n, preds = item
             core = self.patch_size * self.res_increase - 4 * self.res_increase
             out = np.empty((n, core, core, core, 3), np.float32)
             for start, stop, pred in preds:
                 out[start:stop] = np.asarray(jax.device_get(pred), np.float32)[: stop - start]
-            comps = []
-            for i, comp in enumerate(pgen.unpatchify(out)):
-                comp = comp * ds.venc
-                if round_small_values:
-                    comp = np.where(np.abs(comp) < ds.velocity_per_px, 0.0, comp)
-                comps.append(comp.astype(np.float32))
-            for name, comp in zip(ds.velocity_colnames, comps):
-                append_to_h5(output_filepath, name, comp[None], compression="gzip")
-            if ds.dx is not None:
-                new_spacing = ds.dx / self.res_increase
-                append_to_h5(output_filepath, ds.dx_colname, new_spacing[None], compression="gzip")
+            if write_err:
+                raise write_err[0]
+            write_q.put((ds, pgen, out))
 
-        cur = None
-        t0 = time.time()
-        for nrow in range(nr_rows):
-            nxt = dispatch(nrow)
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        try:
+            cur = None
+            t0 = time.time()
+            for nrow in range(nr_rows):
+                nxt = dispatch(nrow)
+                if cur is not None:
+                    finish(cur)
+                    if verbose:
+                        print(f"frame {nrow}/{nr_rows} done in {time.time()-t0:.2f}s")
+                    t0 = time.time()
+                cur = nxt
             if cur is not None:
-                finish(cur, t0)
+                finish(cur)
                 if verbose:
-                    print(f"frame {nrow}/{nr_rows} done in {time.time()-t0:.2f}s")
-                t0 = time.time()
-            cur = nxt
-        if cur is not None:
-            finish(cur, t0)
-            if verbose:
-                print(f"frame {nr_rows}/{nr_rows} done in {time.time()-t0:.2f}s")
+                    print(f"frame {nr_rows}/{nr_rows} done in {time.time()-t0:.2f}s")
+        finally:
+            write_q.put(_SENTINEL)
+            wt.join()
+        if write_err:
+            raise write_err[0]

@@ -44,7 +44,12 @@ class SR4DFlowNetConfig:
     hi_resblock: int = 4
     channels: int = 64  # hard-pinned to 64 in the reference (SR4DFlowNet.py:8)
     dtype: Any = jnp.float32  # compute dtype; params are always float32
-    remat_blocks: bool = False
+    # Residual-block rematerialisation: False/True, or a scope string —
+    # 'hi' remats only the hi-res stack (which holds 8x the activation
+    # bytes per block of the low-res one at res_increase=2), 'low' only
+    # the low-res stack, 'all' == True. Selective remat trades less FLOPs
+    # for most of the HBM relief (see docs/performance.md round 3).
+    remat_blocks: bool | str = False
     # Round 1 shipped a fused Pallas residual block; it measured ~2x slower
     # than XLA's conv emitters on v5e in its best (forward-only) case and
     # was removed in round 2 — see docs/performance.md "Pallas verdict".
@@ -222,7 +227,13 @@ class SR4DFlowNet(nn.Module):
         x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, name="fuse1")(x))
         x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="fuse2")(x))
 
-        block = nn.remat(ResBlock) if cfg.remat_blocks else ResBlock
+        def stack_remat(prefix: str) -> bool:
+            r = cfg.remat_blocks
+            if r in (True, "all"):
+                return True
+            if isinstance(r, str):
+                return prefix.startswith(r)
+            return False
 
         def run_blocks(h, n, prefix):
             """N identical-shape residual blocks.
@@ -233,6 +244,7 @@ class SR4DFlowNet(nn.Module):
             faster compiles at the paper config with identical math and
             an unchanged (per-block) param tree.
             """
+            block = nn.remat(ResBlock) if stack_remat(prefix) else ResBlock
             if not cfg.scan_blocks or n <= 1:
                 for i in range(n):
                     h = block(c, dtype=dt, precision=prec,
@@ -251,7 +263,7 @@ class SR4DFlowNet(nn.Module):
                                          fused_boundary=fb)
                 return leaky_relu(carry + t, 0.2), None
 
-            if cfg.remat_blocks:
+            if stack_remat(prefix):
                 body = jax.checkpoint(body)
             h, _ = jax.lax.scan(body, h, (k1s, k2s), unroll=cfg.scan_unroll)
             return h

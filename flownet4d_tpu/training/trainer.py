@@ -80,6 +80,9 @@ class TrainerController:
         #   batch 8 at 24^3->48^3), off for bf16 (fits, and measured faster
         #   once the fused-boundary conv removed the pad traffic: 269 vs
         #   311 ms/step, docs/performance.md round 2).
+        remat_scope: str = "all",  # which residual stacks to remat when remat
+        #   is on: 'all' | 'hi' (hi-res stack only — it holds 8x the
+        #   activation bytes per block at res x2) | 'low'.
         fused_boundary: bool = True,  # boundary-corrected SAME convs instead
         #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
         precision: str | None = None,  # MXU precision override: 'default'
@@ -124,6 +127,8 @@ class TrainerController:
 
         if remat is None:
             remat = compute_dtype == jnp.float32
+        if remat and remat_scope != "all":
+            remat = remat_scope  # 'hi'/'low' selective remat (model config)
         prec = None
         if precision is not None:
             prec = {
@@ -417,20 +422,7 @@ class TrainerController:
             self.loss_metrics.reset()
             start_loop = time.time()
 
-            i = 0
-            for dev_batch in self._device_batches(trainset):
-                self.state, metrics = self._train_step(self.state, dev_batch, train=True)
-                self._update_metrics(metrics, "train")
-                i += 1
-                msg = (
-                    f"Epoch {epoch+1} Train batch {i}/{total_batch_train} | "
-                    f"loss: {self.loss_metrics['train_loss'].result():.5f} "
-                    f"({self.loss_metrics['train_accuracy'].result():.1f} %) - "
-                    f"{time.time()-start_loop:.1f} secs"
-                )
-                print(f"\r{msg}", end="")
-                if self._stop_requested:
-                    break
+            i = self.run_train_epoch(trainset, epoch, start_loop, total_batch_train)
 
             if self._stop_requested:
                 # Mid-epoch preemption: this epoch is incomplete, resume
@@ -506,6 +498,41 @@ class TrainerController:
         message += "\n==================== END TRAINING ================="
         log_to_file(self.logfile, message)
         print(message)
+
+    def run_train_epoch(self, trainset, epoch: int = 0, start_loop: float | None = None,
+                        total_batches: int | None = None) -> int:
+        """One pass of the training hot loop; returns batches stepped.
+
+        Metrics are fetched with a one-step lag — step i's device_get
+        happens only after step i+1 is dispatched, so the per-batch host
+        sync (a relay RTT) overlaps the next step's upload + compute
+        instead of serialising the pipeline. The progress line therefore
+        trails by one batch. Shared by ``train_network`` and the e2e
+        benchmark so the measured loop IS the production loop.
+        """
+        if start_loop is None:
+            start_loop = time.time()
+        if total_batches is None:
+            total_batches = len(trainset) if hasattr(trainset, "__len__") else 0
+        i = 0
+        pending = None
+        for dev_batch in self._device_batches(trainset):
+            if pending is not None:
+                self._update_metrics(pending, "train")
+            self.state, pending = self._train_step(self.state, dev_batch, train=True)
+            i += 1
+            msg = (
+                f"Epoch {epoch+1} Train batch {i}/{total_batches} | "
+                f"loss: {self.loss_metrics['train_loss'].result():.5f} "
+                f"({self.loss_metrics['train_accuracy'].result():.1f} %) - "
+                f"{time.time()-start_loop:.1f} secs"
+            )
+            print(f"\r{msg}", end="")
+            if self._stop_requested:
+                break
+        if pending is not None:
+            self._update_metrics(pending, "train")
+        return i
 
     def current_lr(self, step: int | None = None) -> float:
         if self.lr_schedule is None:

@@ -105,6 +105,13 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="compute dtype for the traced/timed step (f32 = "
+                    "strict parity mode, HIGHEST precision)")
+    ap.add_argument("--remat-scope", default="all", choices=["all", "hi", "low"])
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="MXU precision override (None = auto per dtype)")
     args = ap.parse_args()
 
     from flownet4d_tpu.utils.cache import enable_compilation_cache
@@ -118,11 +125,12 @@ def main():
     log(f"devices: {jax.devices()}")
     patch, res, batch = 24, 2, args.batch
 
-    def build(compute_dtype, remat):
+    def build(compute_dtype, remat, precision=None, remat_scope="all"):
         return TrainerController(
             patch, res, 2e-4, False, "prof", 8, 4,
             compute_dtype=compute_dtype, models_dir="/tmp/prof_models",
-            remat=remat, packed_transfer=False,
+            remat=remat, packed_transfer=False, precision=precision,
+            remat_scope=remat_scope,
         )
 
     def time_fn(fn, n, sync):
@@ -137,7 +145,9 @@ def main():
             rates.append((time.time() - t0) / n)
         return float(np.median(rates)) * 1000  # ms
 
-    tc = build(jnp.bfloat16, remat=not args.no_remat)
+    main_dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    tc = build(main_dtype, remat=not args.no_remat, precision=args.precision,
+               remat_scope=args.remat_scope)
     host = make_inputs(batch)
     b = TrainingBatch(**host)
     dev = tc._put(b)
@@ -179,7 +189,8 @@ def main():
         _ = int(np.asarray(tc.state.step))
 
     ms = time_fn(step, args.steps, sync)
-    log(f"PURE STEP (bf16, remat={not args.no_remat}, resident input): {ms:.1f} ms/step "
+    log(f"PURE STEP ({args.dtype}, precision={args.precision or 'auto'}, "
+        f"remat={not args.no_remat}, resident input): {ms:.1f} ms/step "
         f"-> {batch/ms*1000:.1f} patches/s")
 
     # --- profiler trace --------------------------------------------------

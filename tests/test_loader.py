@@ -121,3 +121,94 @@ def test_sample_matches_reference_patchhandler():
         np.testing.assert_allclose(hr[..., 2], g_wh, atol=1e-6)
         assert venc == pytest.approx(g_venc)
         np.testing.assert_allclose(mask, g_mask, atol=1e-6)
+
+
+def _write_cohort(tmp_path, n_pairs=6, n_frames=3, lr_dim=16, res=2):
+    """Synthetic multi-file cohort; returns (rows, expected fn, total bytes)."""
+    import h5py
+    from flownet4d_tpu.data.patch_index import PatchIndexRow
+
+    rng = np.random.default_rng(7)
+    hr_dim = lr_dim * res
+    rows, total = [], 0
+    for i in range(n_pairs):
+        lr_name, hr_name = f"lr_{i}.h5", f"hr_{i}.h5"
+        with h5py.File(tmp_path / lr_name, "w") as hf:
+            for c in ["u", "v", "w"]:
+                a = rng.uniform(-1, 1, (n_frames, lr_dim, lr_dim, lr_dim)).astype("f4")
+                hf[c] = a
+                total += a.nbytes
+            for c in ["mag_u", "mag_v", "mag_w"]:
+                a = rng.uniform(0, 4095, (n_frames, lr_dim, lr_dim, lr_dim)).astype("f4")
+                hf[c] = a
+                total += a.nbytes
+            for c in ["venc_u", "venc_v", "venc_w"]:
+                hf[c] = rng.uniform(1.0, 3.0, (n_frames,)).astype("f4")
+        with h5py.File(tmp_path / hr_name, "w") as hf:
+            for c in ["u", "v", "w"]:
+                a = rng.uniform(-1, 1, (n_frames, hr_dim, hr_dim, hr_dim)).astype("f4")
+                hf[c] = a
+                total += a.nbytes
+            m = (rng.uniform(size=(1, hr_dim, hr_dim, hr_dim)) > 0.4).astype("f4")
+            hf["mask"] = m
+            total += m.nbytes
+        for frame in range(n_frames):
+            for (x, y, z) in [(0, 0, 0), (4, 4, 4), (8, 8, 8)]:
+                rows.append(PatchIndexRow(lr_name, hr_name, frame, x, y, z, 0, 0, 0, 1.0))
+    return rows, total
+
+
+def test_cohort_larger_than_cache_stays_bounded(tmp_path):
+    """Frame-granular cache: a cohort ~10x the byte budget streams with
+    bounded resident memory and per-frame (not per-column) re-reads —
+    the round-2 whole-column design re-read an entire 4D column per miss."""
+    rows, total_bytes = _write_cohort(tmp_path)
+    budget = total_bytes // 10
+    loader = PatchLoader(str(tmp_path), 8, 2, 6, cache_bytes=budget)
+
+    ds = loader.initialize_dataset(rows, shuffle=True, seed=0)
+    n_epochs = 2
+    seen = 0
+    for _ in range(n_epochs):
+        for b in ds:
+            seen += int(b.weight.sum())
+    assert seen == n_epochs * len(rows)
+
+    st = loader.cache_stats()
+    assert st["resident_bytes"] <= budget, st
+    assert st["evictions"] > 0, "cohort must overflow the budget"
+    assert st["hits"] > 0
+    # Re-read unit is one frame: even under total thrash, IO is bounded by
+    # (accesses x per-sample frame footprint). Whole-column caching (the
+    # round-2 design) would re-read n_frames x as much per miss — assert
+    # we stay strictly below that regime's floor.
+    lr_f = 16 ** 3 * 4
+    hr_f = 32 ** 3 * 4
+    per_sample_frames = 6 * lr_f + 4 * hr_f  # 6 LR/mag + 3 HR vel + mask
+    per_sample_columns = 6 * 3 * lr_f + 3 * 3 * hr_f + hr_f  # whole columns
+    n_accesses = n_epochs * len(rows)
+    assert st["bytes_read"] <= 1.05 * n_accesses * per_sample_frames, st
+    assert st["bytes_read"] <= 0.6 * n_accesses * per_sample_columns, st
+
+    # Values must match a direct HDF5 read despite all the eviction churn.
+    import h5py
+    r = rows[-1]
+    lr, mag, hr, venc, mask, rot = loader.load_sample(r)
+    with h5py.File(tmp_path / r.source) as hf:
+        u = np.asarray(hf["u"][r.index, r.start_x:r.start_x + 8,
+                               r.start_y:r.start_y + 8, r.start_z:r.start_z + 8])
+        ve = max(float(np.asarray(hf[c])[r.index]) for c in ["venc_u", "venc_v", "venc_w"])
+    np.testing.assert_allclose(lr[..., 0], (u / ve).astype("f4"), atol=1e-7)
+    assert venc == pytest.approx(ve)
+
+
+def test_cache_stats_counters(tmp_path):
+    rows, _ = _write_cohort(tmp_path, n_pairs=1, n_frames=2)
+    loader = PatchLoader(str(tmp_path), 8, 2, 4)
+    loader.load_sample(rows[0])
+    st1 = loader.cache_stats()
+    assert st1["misses"] > 0 and st1["hits"] >= 0
+    loader.load_sample(rows[1])  # same frame, different origin: all hits
+    st2 = loader.cache_stats()
+    assert st2["misses"] == st1["misses"]
+    assert st2["hits"] > st1["hits"]

@@ -255,3 +255,25 @@ def test_predict_file_matches_predict_volume(tmp_path):
             np.testing.assert_allclose(np.asarray(f["v"][nrow]), v, atol=1e-6)
             np.testing.assert_allclose(np.asarray(f["w"][nrow]), w, atol=1e-6)
         np.testing.assert_allclose(np.asarray(f["dx"][0]), ds.dx / 2)
+
+
+def test_selective_remat_is_numerically_inert(tmp_path):
+    """remat_scope='hi' (checkpoint only the HBM-heavy hi-res stack) must
+    produce the same update as no remat — remat changes memory, not math."""
+    batch = _random_batch(seed=3)
+    params = {}
+    for scope_kw in [dict(remat=False), dict(remat=True, remat_scope="hi"),
+                     dict(remat=True, remat_scope="low")]:
+        # 2/2 resblocks: exercises the scanned-stack remat path.
+        tc = TrainerController(
+            8, 2, 1e-3, False, "tiny", low_resblock=2, hi_resblock=2,
+            models_dir=str(tmp_path), channels=16,
+            seed=0, packed_transfer=False, **scope_kw)
+        tc.train_step(batch)
+        params[str(scope_kw)] = jax.device_get(tc.state.params)
+    keys = list(params)
+    base = params[keys[0]]
+    for k in keys[1:]:
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            base, params[k])

@@ -104,6 +104,9 @@ def main():
     p.add_argument("--no-remat", dest="remat", action="store_false",
                    help="force rematerialization off (default: auto — on for "
                         "f32, off for bf16)")
+    p.add_argument("--remat-scope", choices=["all", "hi", "low"], default="all",
+                   help="which residual stacks to rematerialize when remat is "
+                        "on ('hi' = the HBM-heavy hi-res stack only)")
     p.add_argument("--no-fused-boundary", action="store_true",
                    help="use explicit symmetric pads instead of the "
                         "boundary-corrected SAME convs")
@@ -167,6 +170,7 @@ def main():
         models_dir=args.models_dir,
         packed_transfer=not args.no_packed_transfer,
         remat=args.remat,
+        remat_scope=args.remat_scope,
         fused_boundary=not args.no_fused_boundary,
         precision=args.precision,
         div_weight=args.div_weight,
