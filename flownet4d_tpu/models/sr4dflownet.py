@@ -75,6 +75,11 @@ class SR4DFlowNetConfig:
     # body N times per loop iteration, trading a little compile time for
     # less per-iteration loop overhead.
     scan_unroll: int = 1
+    # Spell the bulk SAME conv's input-gradient as a forward-form conv
+    # (flipped/transposed kernel) via custom VJP, flipping XLA's dgrad
+    # emitter from EmitOutputBatchInSublanes (46.6 TF/s) to the fast
+    # forward emitters (~85 TF/s) on the resblock shapes. Identical math.
+    fast_dgrad: bool = False
 
     def resolved_precision(self):
         if self.precision is not None:
@@ -96,6 +101,7 @@ class Conv3D(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_boundary: bool = True
+    fast_dgrad: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -118,6 +124,7 @@ class Conv3D(nn.Module):
             padding=self.padding,
             precision=self.precision,
             fused_boundary=self.fused_boundary,
+            fast_dgrad=self.fast_dgrad,
         )
 
 
@@ -155,15 +162,16 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_boundary: bool = True
+    fast_dgrad: bool = False
 
     @nn.compact
     def __call__(self, x):
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision,
+                     precision=self.precision, fast_dgrad=self.fast_dgrad,
                      fused_boundary=self.fused_boundary, name="conv1")(x)
         tmp = leaky_relu(tmp, 0.2)
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision,
+                     precision=self.precision, fast_dgrad=self.fast_dgrad,
                      fused_boundary=self.fused_boundary, name="conv2")(tmp)
         return leaky_relu(x + tmp, 0.2)
 
@@ -205,6 +213,7 @@ class SR4DFlowNet(nn.Module):
         dt = cfg.dtype
         prec = cfg.resolved_precision()
         fb = cfg.fused_boundary
+        fd = cfg.fast_dgrad
 
         velocity = velocity.astype(dt)
         magnitude = magnitude.astype(dt)
@@ -217,15 +226,15 @@ class SR4DFlowNet(nn.Module):
         phase = velocity
         pc = jnp.concatenate([pcmr, mag, speed], axis=-1)
 
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc1")(pc))
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc2")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="pc1")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="pc2")(pc))
 
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase1")(phase))
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase2")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="phase1")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="phase2")(phase))
 
         x = jnp.concatenate([phase, pc], axis=-1)
-        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, name="fuse1")(x))
-        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="fuse2")(x))
+        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="fuse1")(x))
+        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name="fuse2")(x))
 
         def stack_remat(prefix: str) -> bool:
             r = cfg.remat_blocks
@@ -247,7 +256,7 @@ class SR4DFlowNet(nn.Module):
             block = nn.remat(ResBlock) if stack_remat(prefix) else ResBlock
             if not cfg.scan_blocks or n <= 1:
                 for i in range(n):
-                    h = block(c, dtype=dt, precision=prec,
+                    h = block(c, dtype=dt, precision=prec, fast_dgrad=fd,
                               fused_boundary=fb, name=f"{prefix}_{i}")(h)
                 return h
             pairs = [_ResBlockKernels(c, name=f"{prefix}_{i}")() for i in range(n)]
@@ -257,10 +266,10 @@ class SR4DFlowNet(nn.Module):
             def body(carry, kk):
                 k1, k2 = kk
                 t = conv3d_symmetric_pad(carry, k1, None, precision=prec,
-                                         fused_boundary=fb)
+                                         fused_boundary=fb, fast_dgrad=fd)
                 t = leaky_relu(t, 0.2)
                 t = conv3d_symmetric_pad(t, k2, None, precision=prec,
-                                         fused_boundary=fb)
+                                         fused_boundary=fb, fast_dgrad=fd)
                 return leaky_relu(carry + t, 0.2), None
 
             if stack_remat(prefix):
@@ -288,7 +297,8 @@ class SR4DFlowNet(nn.Module):
             K1 = jnp.concatenate(k1s, axis=-1).astype(dt)  # (3,3,3,c,3c)
             B1 = jnp.concatenate(b1s)
             h = nn.relu(conv3d_symmetric_pad(
-                x.astype(dt), K1, B1, precision=prec, fused_boundary=fb))
+                x.astype(dt), K1, B1, precision=prec, fused_boundary=fb,
+                fast_dgrad=fd))
             z = jnp.zeros_like(k2s[0])
             K2 = jnp.concatenate(
                 [
@@ -300,12 +310,13 @@ class SR4DFlowNet(nn.Module):
             ).astype(dt)  # (3,3,3,3c,3) block-diagonal
             B2 = jnp.concatenate(b2s)
             out = conv3d_symmetric_pad(
-                h, K2, B2, precision=prec, fused_boundary=fb)  # linear output
+                h, K2, B2, precision=prec, fused_boundary=fb,
+                fast_dgrad=fd)  # linear output
         else:
             heads = []
             for comp in ("u", "v", "w"):
-                h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name=f"{comp}_head1")(x))
-                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, name=f"{comp}_head2")(h)  # linear output
+                h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name=f"{comp}_head1")(x))
+                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, name=f"{comp}_head2")(h)  # linear output
                 heads.append(h)
             out = jnp.concatenate(heads, axis=-1)
         return out.astype(jnp.float32)
