@@ -84,7 +84,8 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     low_rb, hi_rb = 8, 4
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    # Default: auto (remat on for f32, off for bf16 — see TrainerController).
+    # Default: auto (remat off — fits and faster in both dtypes; see
+    # TrainerController).
     remat_env = os.environ.get("BENCH_REMAT", "")
     remat = None if remat_env == "" else remat_env == "1"
     tc = TrainerController(

@@ -141,3 +141,20 @@ def restore_train_state(ckpt_dir: str, state_template):
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(ckpt_dir, item=jax.device_get(state_template))
     return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
+def restore_params(ckpt_dir: str, params_template):
+    """Params-only restore from a full-train-state checkpoint.
+
+    Optimizer-layout agnostic: a checkpoint written by a schedule-driven
+    Adam restores fine into a constant-lr controller (and vice versa) —
+    only the ``params`` subtree is read and validated against the
+    template's structure/dtypes.
+    """
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_dir))
+    raw_params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw[0]
+    return jax.tree_util.tree_map(
+        lambda t, a: jnp.asarray(a, jnp.asarray(t).dtype), params_template, raw_params
+    )

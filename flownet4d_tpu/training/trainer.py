@@ -54,6 +54,11 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+    # Optional exponential moving average of params (None when disabled).
+    # On the sharp unnormalized-resnet landscape the iterate oscillates at
+    # the edge of stability (docs/training.md); the EMA averages across the
+    # oscillation and is what val/best/export use when enabled.
+    ema: Any = None
 
 
 class TrainerController:
@@ -76,15 +81,20 @@ class TrainerController:
         l2_weight: float = 5e-7,
         channels: int = 64,  # the reference pins 64; overridable for tests/scaling
         remat: bool | None = None,  # rematerialise resblocks: ~1.3x FLOPs for
-        #   ~10x less activation HBM. None = auto: on for f32 (required for
-        #   batch 8 at 24^3->48^3), off for bf16 (fits, and measured faster
-        #   once the fused-boundary conv removed the pad traffic: 269 vs
-        #   311 ms/step, docs/performance.md round 2).
+        #   ~10x less activation HBM. None = auto: off for both dtypes —
+        #   after the fused-boundary conv removed the pad traffic, the
+        #   paper config fits HBM without remat in bf16 AND f32, and
+        #   no-remat measured faster in both (bf16: 269 vs 311 ms/step,
+        #   round 2; f32 HIGHEST: 1132 vs 1288 ms/step, round 3). Pass
+        #   remat=True (optionally remat_scope='hi') for bigger
+        #   batch/patch configs that exceed HBM.
         remat_scope: str = "all",  # which residual stacks to remat when remat
         #   is on: 'all' | 'hi' (hi-res stack only — it holds 8x the
         #   activation bytes per block at res x2) | 'low'.
         fused_boundary: bool = True,  # boundary-corrected SAME convs instead
         #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
+        fast_dgrad: bool = False,  # forward-form input-gradient convs
+        #   (ops/conv.py::_conv_same_fast_dgrad)
         precision: str | None = None,  # MXU precision override: 'default'
         #   (1-pass bf16), 'high' (3-pass bf16x3), 'highest' (6-pass, the
         #   f32 parity mode). None = auto (highest for f32, default for
@@ -95,6 +105,30 @@ class TrainerController:
         lr_schedule=None,  # optional optax schedule (step -> lr); the reference
         #                    keeps a fixed lr (adjust_learning_rate is commented
         #                    out at TrainerController.py:280)
+        adam_b2: float = 0.999,  # Adam beta2 (reference value). 0.999 means
+        #   v_hat reacts to a loss blow-up ~700 steps late, letting the
+        #   explosion run; 0.9-0.95 makes v_hat spike with the gradient and
+        #   self-damps the effective step (docs/training.md).
+        adam_eps: float = 1e-7,  # Adam epsilon (reference value,
+        #   TrainerController.py:73). On small/fixed cohorts the true
+        #   gradient shrinks until sqrt(v_hat) ~ eps and Adam's effective
+        #   per-param step lr/(sqrt(v_hat)+eps) blows up — the smooth
+        #   descend-then-ascend pathology documented in docs/training.md.
+        #   Raising eps (e.g. 1e-4) floors the effective step; the
+        #   reference never hits this because large noisy cohorts keep
+        #   v_hat alive.
+        ema_decay: float | None = None,  # optional parameter EMA (e.g. 0.999).
+        #   Validation, best-model selection, quicksave and the .h5 export
+        #   then use the averaged params, which sit at the centre of the
+        #   edge-of-stability oscillation instead of riding it
+        #   (docs/training.md). Extension over the reference.
+        clip_norm: float | None = None,  # optional global-norm gradient clip
+        #   (optax.clip_by_global_norm) ahead of Adam. An extension over the
+        #   reference (it never clips): the unnormalized 24-conv resnet's
+        #   landscape sharpens as the loss falls, and fixed-batch probes show
+        #   Adam entering edge-of-stability oscillation at lr as low as 2e-5
+        #   (docs/training.md, round 3). Clipping bounds the blowups without
+        #   changing well-behaved steps.
         profile_dir: str | None = None,  # jax.profiler trace output directory
         div_weight: float = 0.0,  # divergence-loss weight (dormant in reference)
         non_fluid_weight: float = 1.0,
@@ -126,7 +160,7 @@ class TrainerController:
         self._stop_requested = False
 
         if remat is None:
-            remat = compute_dtype == jnp.float32
+            remat = False
         if remat and remat_scope != "all":
             remat = remat_scope  # 'hi'/'low' selective remat (model config)
         prec = None
@@ -145,6 +179,7 @@ class TrainerController:
             remat_blocks=remat,
             fused_boundary=fused_boundary,
             precision=prec,
+            fast_dgrad=fast_dgrad,
         )
         self.model = SR4DFlowNet(self.config)
 
@@ -153,9 +188,13 @@ class TrainerController:
         # TF keras Adam defaults: beta1 0.9, beta2 0.999, epsilon 1e-7.
         self.lr_schedule = lr_schedule
         self.profile_dir = profile_dir
-        self.optimizer = optax.adam(
+        adam = optax.adam(
             lr_schedule if lr_schedule is not None else self.learning_rate,
-            b1=0.9, b2=0.999, eps=1e-7,
+            b1=0.9, b2=adam_b2, eps=adam_eps,
+        )
+        self.optimizer = (
+            optax.chain(optax.clip_by_global_norm(clip_norm), adam)
+            if clip_norm else adam
         )
 
         # Init params with a dummy LR-shaped batch.
@@ -164,7 +203,11 @@ class TrainerController:
         variables = self.model.init(jax.random.PRNGKey(seed), dummy_vel, dummy_vel)
         params = variables["params"]
         opt_state = self.optimizer.init(params)
-        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        self.ema_decay = ema_decay
+        # Distinct buffers, not an alias: the donated train step would
+        # otherwise donate the same buffer twice (params + ema leaves).
+        ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
         # Replicate state over the mesh.
         rep = replicated_sharding(self.mesh)
         self.state = put_with_sharding(state, rep)
@@ -240,7 +283,13 @@ class TrainerController:
             sel = lambda a, b: jnp.where(is_real, a, b)
             params = jax.tree_util.tree_map(sel, params, state.params)
             opt_state = jax.tree_util.tree_map(sel, opt_state, state.opt_state)
-            new_state = TrainState(params, opt_state, state.step + is_real.astype(jnp.int32))
+            ema = state.ema
+            if self.ema_decay and ema is not None:
+                d = self.ema_decay
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: sel(d * e + (1.0 - d) * p, e), ema, params)
+            new_state = TrainState(params, opt_state,
+                                   state.step + is_real.astype(jnp.int32), ema)
             return new_state, metrics
         else:
             _, (metrics, pred) = objective(state.params)
@@ -283,8 +332,15 @@ class TrainerController:
         self.state, metrics = self._train_step(self.state, dev_batch, train=True)
         return metrics
 
+    def _eval_view(self) -> TrainState:
+        """The state evaluation should use: EMA params when enabled."""
+        s = self.state
+        if self.ema_decay and s.ema is not None:
+            return TrainState(s.ema, s.opt_state, s.step)
+        return s
+
     def test_step(self, batch):
-        _, metrics, pred = self._eval_step(self.state, self._put(batch))
+        _, metrics, pred = self._eval_step(self._eval_view(), self._put(batch))
         self._update_metrics(metrics, "val")
         return pred
 
@@ -332,7 +388,16 @@ class TrainerController:
             path = f"{self.model_path}{suffix}"
             if os.path.isdir(path):
                 template = jax.device_get(self.state)
-                restored = ckpt.restore_train_state(path, template)
+                try:
+                    restored = ckpt.restore_train_state(path, template)
+                except (ValueError, KeyError, TypeError):
+                    # Layout drift (optimizer/EMA config changed between
+                    # runs): keep the params, restart optimizer state.
+                    params = ckpt.restore_params(path, template.params)
+                    restored = TrainState(
+                        params, self.optimizer.init(params), template.step,
+                        jax.tree_util.tree_map(np.copy, params)
+                        if self.ema_decay else None)
                 self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
                 restored_path = path
                 break
@@ -566,7 +631,9 @@ class TrainerController:
 
     def save_best_model(self) -> None:
         ckpt.save_train_state(f"{self.model_path}-best.ckpt", self.state)
-        ckpt.save_weights_h5(f"{self.model_path}-best.h5", self.state.params)
+        # The portable .h5 is the released artifact: EMA params when enabled.
+        ckpt.save_weights_h5(f"{self.model_path}-best.h5",
+                             self._eval_view().params)
 
     def restore_model(self, old_model_dir: str, old_model_file: str | None = None) -> None:
         """Restore a full train state (preferred) or bare .h5 weights."""
@@ -578,11 +645,24 @@ class TrainerController:
             cands = [f for f in os.listdir(old_model_dir) if f.endswith("-best.ckpt")]
             if cands:
                 ckpt_path = os.path.join(old_model_dir, sorted(cands)[-1])
+        def fresh_state(params):
+            ema = (jax.tree_util.tree_map(np.copy, params)
+                   if self.ema_decay else None)
+            return TrainState(params, self.optimizer.init(params), state.step,
+                              ema)
+
         if ckpt_path and os.path.isdir(ckpt_path):
-            restored = ckpt.restore_train_state(ckpt_path, state)
+            try:
+                restored = ckpt.restore_train_state(ckpt_path, state)
+            except (ValueError, KeyError, TypeError):
+                # State-layout mismatch (e.g. the checkpoint was written by
+                # a schedule-driven Adam or without EMA and this controller
+                # differs): take the portable part — params — and start the
+                # optimizer (and EMA) fresh.
+                restored = fresh_state(ckpt.restore_params(ckpt_path, state.params))
         elif old_model_file:
-            params = ckpt.load_weights_h5(os.path.join(old_model_dir, old_model_file), state.params)
-            restored = TrainState(params, self.optimizer.init(params), state.step)
+            restored = fresh_state(ckpt.load_weights_h5(
+                os.path.join(old_model_dir, old_model_file), state.params))
         else:
             raise FileNotFoundError(f"no checkpoint found under {old_model_dir}")
         self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
@@ -615,7 +695,7 @@ class TrainerController:
                 if hasattr(it, "close"):
                     it.close()
         batch = self._quicksave_batch
-        _, metrics, preds = self._eval_step(self.state, self._put(batch))
+        _, metrics, preds = self._eval_step(self._eval_view(), self._put(batch))
         metrics = jax.device_get(metrics)
         preds = np.asarray(jax.device_get(preds))
 

@@ -36,7 +36,18 @@ def _reference_controller(lr):
     sys.path.insert(0, "/root/reference/src")
     from Network.TrainerController import TrainerController as RefTC
 
-    return RefTC(PATCH, RES, lr, False, "equiv", LOW_RB, HI_RB)
+    tc = RefTC(PATCH, RES, lr, False, "equiv", LOW_RB, HI_RB)
+    # tf-keras (the legacy-Keras build the reference requires here)
+    # silently DROPS the deprecated ``lr=`` kwarg the reference passes
+    # (TrainerController.py:73) and runs Adam at its default 1e-3:
+    # measured — Adam(lr=1e-4).learning_rate == 0.001, and the ref's
+    # first optimizer step moves ||dparams|| 10x the requested-lr
+    # prediction (lr*sqrt(n_params)). Pin the actual rate so the
+    # equivalence experiment compares the same optimizer.
+    tc.optimizer.learning_rate.assign(lr)
+    # f32 storage: compare with a relative tolerance.
+    assert abs(float(tc.optimizer.learning_rate.numpy()) - lr) < 1e-6 * lr
+    return tc
 
 
 def _to_reference_tuple(batch):

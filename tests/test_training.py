@@ -117,6 +117,88 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(l1, np.asarray(l2))
 
 
+def test_clip_norm_trains_and_bounds_update(tmp_path):
+    """--clip-norm: the chained optimizer still trains (clip rescales m and
+    v consistently, so Adam's normalized step survives; descent just warms
+    up a step or two slower than unclipped on a noise target)."""
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]),
+                          clip_norm=1.0)
+    batch = _random_batch()
+    losses = []
+    for _ in range(10):
+        tc.loss_metrics.reset()
+        tc.train_step(batch)
+        losses.append(tc.loss_metrics["train_loss"].result())
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_ema_tracks_params_and_exports(tmp_path):
+    """--ema-decay: state.ema is the exact EMA recursion of the params,
+    val/test use the EMA view, and the .h5 export carries EMA weights."""
+    import os
+
+    decay = 0.5  # aggressive decay makes the recursion visible in 3 steps
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]),
+                          ema_decay=decay)
+    batch = _random_batch()
+
+    expect = jax.device_get(tc.state.params)
+    for _ in range(3):
+        before = jax.device_get(tc.state.params)
+        tc.train_step(batch)
+        after = jax.device_get(tc.state.params)
+        expect = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1 - decay) * p, expect, after)
+
+    got = jax.device_get(tc.state.ema)
+    for g, e in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(g, e, rtol=2e-6, atol=1e-7)
+
+    # EMA differs from the live params (it lags), and the export uses it.
+    live = jax.device_get(tc.state.params)
+    assert any(
+        not np.allclose(l, g)
+        for l, g in zip(jax.tree_util.tree_leaves(live), jax.tree_util.tree_leaves(got))
+    )
+    tc.model_dir = str(tmp_path / "run")
+    tc.model_path = str(tmp_path / "run" / "tiny")
+    os.makedirs(tc.model_dir, exist_ok=True)
+    tc.save_best_model()
+    from flownet4d_tpu.training.checkpoint import load_weights_h5
+
+    exported = load_weights_h5(f"{tc.model_path}-best.h5", live)
+    for g, e in zip(jax.tree_util.tree_leaves(exported), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), e, rtol=1e-6)
+
+
+def test_restore_across_optimizer_layouts(tmp_path):
+    """A checkpoint written by a schedule-driven Adam must restore into a
+    constant-lr controller (params-only fallback, training/trainer.py
+    restore_model) — the cross-layout case the round-3 eval hit."""
+    import optax
+
+    sched = optax.cosine_decay_schedule(1e-3, decay_steps=100, alpha=0.01)
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]),
+                          lr_schedule=sched)
+    tc.train_step(_random_batch())
+    import os
+
+    tc.model_dir = str(tmp_path / "run")
+    tc.model_path = str(tmp_path / "run" / "tiny")
+    os.makedirs(tc.model_dir, exist_ok=True)
+    tc.save_best_model()
+
+    tc2 = _tiny_controller(tmp_path / "b", make_mesh(jax.devices()[:1]), seed=99)
+    tc2.restore_model(tc.model_dir, "tiny-best.ckpt")
+    p1 = jax.device_get(tc.state.params)
+    p2 = jax.device_get(tc2.state.params)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(l1, l2)
+    # and the restored controller can step
+    tc2.train_step(_random_batch(seed=1))
+
+
 def test_end_to_end_epoch_on_reference_data(tmp_path):
     """One real epoch: loader -> train -> val -> quicksave artifacts."""
     rows = load_indexes(f"{REFERENCE_DATA_DIR}/train.csv")

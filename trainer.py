@@ -102,8 +102,8 @@ def main():
     p.add_argument("--remat", dest="remat", action="store_true", default=None,
                    help="force residual-block rematerialization on")
     p.add_argument("--no-remat", dest="remat", action="store_false",
-                   help="force rematerialization off (default: auto — on for "
-                        "f32, off for bf16)")
+                   help="force rematerialization off (the default: the paper "
+                        "config fits HBM and runs faster without it)")
     p.add_argument("--remat-scope", choices=["all", "hi", "low"], default="all",
                    help="which residual stacks to rematerialize when remat is "
                         "on ('hi' = the HBM-heavy hi-res stack only)")
@@ -118,6 +118,31 @@ def main():
                         "RUN_DIR/<network-name>-latest.ckpt (restores "
                         "optimizer state + epoch; SIGTERM during training "
                         "checkpoints for this)")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                   default="constant",
+                   help="cosine: decay from --initial-learning-rate to "
+                        "--lr-final over the whole run (the reference keeps "
+                        "a constant lr; its adjust_learning_rate hook is "
+                        "commented out at TrainerController.py:280)")
+    p.add_argument("--lr-final", type=float, default=1e-6,
+                   help="final learning rate for --lr-schedule cosine")
+    p.add_argument("--adam-b2", type=float, default=0.999,
+                   help="Adam beta2 (reference value 0.999)")
+    p.add_argument("--adam-eps", type=float, default=1e-7,
+                   help="Adam epsilon (reference value 1e-7). Raise to "
+                        "~1e-4 on small/demo cohorts: near convergence the "
+                        "gradient and v_hat shrink until Adam's effective "
+                        "step lr/(sqrt(v_hat)+eps) explodes "
+                        "(docs/training.md)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="parameter EMA decay (e.g. 0.999); val/best/.h5 "
+                        "export then use the averaged weights "
+                        "(docs/training.md; extension over the reference)")
+    p.add_argument("--clip-norm", type=float, default=None,
+                   help="global-norm gradient clipping (extension over the "
+                        "reference, which never clips; recommended ~1.0 on "
+                        "small/augmented cohorts where Adam hits "
+                        "edge-of-stability oscillation — docs/training.md)")
     p.add_argument("--latest-every", type=int, default=10,
                    help="epoch cadence for the -latest.ckpt autosave")
     p.add_argument("--config", default=None, metavar="FILE",
@@ -156,6 +181,17 @@ def main():
                          args.batch_size, args.mask_threshold)
         testset = ph.initialize_dataset(load_indexes(benchmark_file), shuffle=False)
 
+    lr_schedule = None
+    if args.lr_schedule == "cosine":
+        import optax
+
+        steps_per_epoch = max(1, len(trainset))
+        lr_schedule = optax.cosine_decay_schedule(
+            args.initial_learning_rate,
+            decay_steps=max(1, args.epochs * steps_per_epoch),
+            alpha=args.lr_final / args.initial_learning_rate,
+        )
+
     print(f"4DFlowNet Patch {args.patch_size}, lr {args.initial_learning_rate}, "
           f"batch {args.batch_size}")
     network = TrainerController(
@@ -176,6 +212,10 @@ def main():
         div_weight=args.div_weight,
         profile_dir=args.profile_dir,
         latest_every=args.latest_every,
+        lr_schedule=lr_schedule,
+        clip_norm=args.clip_norm,
+        adam_eps=args.adam_eps,
+        ema_decay=args.ema_decay,
     )
     if args.resume:
         network.resume_from(args.resume)
