@@ -72,8 +72,10 @@ def measure_inference(dtype_name: str) -> float:
     return spf
 
 
-def measure_train(dtype_name: str) -> tuple[float, list]:
-    """Training patches/sec at the paper config. Median of 3 windows."""
+def measure_train(dtype_name: str, max_windows: int = 3) -> tuple[float, list]:
+    """Training patches/sec at the paper config. Median of 3 windows,
+    adaptively extended to max_windows when the relay variance is wide
+    (BENCH_r02 windows spanned 21.6->35.6; VERDICT r2 weak-item 7)."""
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +94,7 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
         remat=remat,
+        fast_dgrad=os.environ.get("BENCH_FAST_DGRAD", "0") == "1",
     )
 
     rng = np.random.default_rng(0)
@@ -140,7 +143,7 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
         age = time.time() - _PROCESS_T0
         log(f"warm-up probe {probe+1}: {rate:.2f} patches/s (process age {age:.0f}s)")
         if age > 115 and prev_rate > 0 and \
-                abs(rate - prev_rate) / max(rate, prev_rate) < 0.20:
+                abs(rate - prev_rate) / max(rate, prev_rate) < 0.10:
             break
         prev_rate = rate
 
@@ -148,7 +151,11 @@ def measure_train(dtype_name: str) -> tuple[float, list]:
     # Relay-attached chips show 2-3x run-to-run variance; report the median
     # of 3 measurement windows.
     rates = []
-    for window in range(3):
+    for window in range(max(max_windows, 3)):
+        # Past 3 windows, keep extending only while the spread is wide —
+        # a slow relay window shouldn't decide the headline.
+        if window >= 3 and (max(rates) - min(rates)) / np.median(rates) <= 0.25:
+            break
         batches = [make_batch() for _ in range(n_steps)]
         t0 = time.time()
         metrics = run_steps(batches)
@@ -240,7 +247,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     log(f"devices: {jax.devices()}")
 
-    pps, _ = measure_train(dtype_name)
+    pps, _ = measure_train(dtype_name, max_windows=5)
 
     train_baseline = _baseline("tf_cpu_train_patches_per_sec")
     infer_baseline = _baseline("tf_cpu_inference_sec_per_frame")

@@ -593,11 +593,44 @@ class TrainerController:
                 f"{time.time()-start_loop:.1f} secs"
             )
             print(f"\r{msg}", end="")
-            if self._stop_requested:
+            if self._sync_stop_requested(i):
                 break
         if pending is not None:
             self._update_metrics(pending, "train")
         return i
+
+    # Multi-process stop consensus cadence (batches). The allgather is a
+    # device program, so it executes after the preceding train step —
+    # running it every batch would serialise the one-batch-lookahead
+    # pipeline; every 16th batch bounds both the overhead (<1/16 of a
+    # step) and the stop latency (~3 s at paper-config step times).
+    _stop_sync_every = 16
+
+    def _sync_stop_requested(self, i: int = 0) -> bool:
+        """Multi-host-consistent preemption check.
+
+        SIGTERM lands on each process independently (on a preempted pod
+        slice possibly seconds apart, or on one host only); breaking the
+        training loop on the host-local flag would desynchronise the
+        collective program across processes and deadlock the mesh. When
+        the run spans processes, every host calls this at the same loop
+        points, and the local flags are max-reduced across the cluster so
+        all hosts take the same branch at the same batch — consensus
+        batches only, and *never* the local flag alone, even when it is
+        already set. Single-process (the common case, incl. every
+        bench): just the local flag — no device work, no overhead.
+        """
+        if jax.process_count() == 1:
+            return self._stop_requested
+        if i % self._stop_sync_every:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self._stop_requested else 0))
+        if int(np.max(flags)) > 0:
+            self._stop_requested = True
+        return self._stop_requested
 
     def current_lr(self, step: int | None = None) -> float:
         if self.lr_schedule is None:

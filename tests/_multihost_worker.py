@@ -31,6 +31,19 @@ def main():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(2 * nproc)
+
+    # Preemption consensus: SIGTERM lands on worker 0 only; the collective
+    # stop check must still make EVERY process take the stop branch (a
+    # host-local break would desync the mesh program and deadlock).
+    from flownet4d_tpu.training.trainer import TrainerController
+
+    tc = object.__new__(TrainerController)  # only the flag + the method
+    tc._stop_requested = pid == 0
+    # Off-cadence batch: no collective, never breaks on the local flag.
+    assert TrainerController._sync_stop_requested(tc, 3) is False
+    # Consensus batch (i % 16 == 0): allgather -> both processes stop.
+    assert TrainerController._sync_stop_requested(tc, 16) is True
+    print(f"SYNC_STOP_OK pid={pid}")
     print(f"MULTIHOST_OK pid={pid}")
 
 

@@ -43,7 +43,10 @@ def test_two_process_cpu_cluster(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # Generous: the box has a single core and the two workers
+            # (plus any concurrent compile) share it; 420 s flaked under
+            # load while the idle-box runtime is ~380 s.
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -53,4 +56,5 @@ def test_two_process_cpu_cluster(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} rc={p.returncode}:\n{out}"
         assert f"MULTIHOST_OK pid={i}" in out, f"worker {i} output:\n{out}"
+        assert f"SYNC_STOP_OK pid={i}" in out, f"worker {i} output:\n{out}"
         assert "dryrun_multichip(4): ok" in out
