@@ -41,7 +41,11 @@ def _baseline(key):
 
 def measure_inference(dtype_name: str) -> float:
     """Full-volume sec/frame on data/example_data.h5 (predictor defaults:
-    patch 24, res x2, batch 8, 8/4 resblocks). Median of 3 windows."""
+    patch 24, res x2, batch 8, 8/4 resblocks). Median of 3 windows.
+
+    BENCH_VOLUME=N measures a synthetic N^3 frame instead (the clinical
+    large-volume case — the reference's whole point is big volumes;
+    round-2 measured 128^3 at 12.8-16.4 s/frame pre-writer-overlap)."""
     import jax.numpy as jnp
     from flownet4d_tpu.inference import VolumePredictor
     from flownet4d_tpu.data.volume import VolumeDataset
@@ -54,16 +58,51 @@ def measure_inference(dtype_name: str) -> float:
     dataset = VolumeDataset()
     path = "/root/reference/data/example_data.h5"
 
+    vol = int(os.environ.get("BENCH_VOLUME", "0"))
+    if vol:
+        import tempfile
+
+        import h5py
+
+        rng = np.random.default_rng(0)
+        path = os.path.join(tempfile.mkdtemp(prefix="bench_vol_"),
+                            f"synth_{vol}.h5")
+        nframes = 2  # >1 so the cross-frame pipelining actually engages
+        with h5py.File(path, "w") as hf:
+            for c in ("u", "v", "w"):
+                hf[c] = rng.uniform(
+                    -1, 1, (nframes, vol, vol, vol)).astype("float32")
+                hf[f"mag_{c}"] = rng.uniform(
+                    0, 4095, (nframes, vol, vol, vol)).astype("float32")
+                hf[f"venc_{c}"] = np.full((nframes,), 1.5, "float32")
+            hf["dx"] = np.full((nframes, 3), 2.0, "float32")
+
     dataset.load_vectorfield(path, 0)
     comps = predictor.predict_volume(dataset)  # warmup/compile
     n = int(os.environ.get("BENCH_STEPS", "5"))
     rates = []
-    for _ in range(3):  # median-of-3 windows (relay variance)
+    if vol:
+        # The clinical workflow: predict_file (frame-pipelined dispatch +
+        # ordered writer thread). Also log one predict_volume window for
+        # comparability with the round-2 per-frame protocol.
+        out_path = os.path.join(os.path.dirname(path), "out.h5")
+        for w in range(3):
+            if os.path.exists(out_path):
+                os.remove(out_path)
+            t0 = time.time()
+            predictor.predict_file(path, out_path, verbose=False)
+            rates.append((time.time() - t0) / nframes)
+            log(f"predict_file window {w+1}: {rates[-1]:.2f} s/frame ({vol}^3)")
         t0 = time.time()
-        for _ in range(n):
-            dataset.load_vectorfield(path, 0)
-            comps = predictor.predict_volume(dataset)
-        rates.append((time.time() - t0) / n)
+        comps = predictor.predict_volume(dataset)
+        log(f"predict_volume (round-2 protocol): {time.time()-t0:.2f} s/frame")
+    else:
+        for _ in range(3):  # median-of-3 windows (relay variance)
+            t0 = time.time()
+            for _ in range(n):
+                dataset.load_vectorfield(path, 0)
+                comps = predictor.predict_volume(dataset)
+            rates.append((time.time() - t0) / n)
     spf = float(np.median(rates))
     log(f"inference windows {['%.3f' % r for r in rates]} s/frame ({dtype_name}), "
         f"out shape {comps[0].shape}")
@@ -237,15 +276,66 @@ def measure_train_e2e(dtype_name: str) -> float:
     return pps
 
 
+def _init_backend_with_retry():
+    """Initialize the JAX backend, retrying with backoff, under a watchdog.
+
+    The relay-attached TPU has two observed failure modes: raising
+    UNAVAILABLE (BENCH_r03 was rc=1 solely because `jax.devices()` raised
+    at driver bench time) and *hanging* inside backend setup (observed
+    round 4 — devices() blocked >10 min without raising). Retry raises
+    for up to ~BENCH_INIT_RETRY_S seconds; the whole attempt runs in a
+    daemon thread so a hang can't stop the process from emitting its one
+    JSON line. Raises RuntimeError if the backend never comes up."""
+    import threading
+
+    retry_budget = float(os.environ.get("BENCH_INIT_RETRY_S", "600"))
+    if os.environ.get("BENCH_FORCE_PLATFORM"):
+        # Test hook: point JAX at a named platform (e.g. a bogus one to
+        # exercise the error path — the container's sitecustomize stomps
+        # JAX_PLATFORMS, so an env-var override can't do it).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_FORCE_PLATFORM"])
+    result = {}
+
+    def _attempt():
+        import jax
+
+        deadline = time.time() + retry_budget
+        delay = 10.0
+        while True:
+            try:
+                result["devices"] = jax.devices()
+                return
+            except Exception as e:  # noqa: BLE001 — any init failure is retryable
+                result["err"] = e
+                if time.time() >= deadline:
+                    return
+                log(f"backend init failed ({e!r}); retrying in {delay:.0f}s "
+                    f"({deadline - time.time():.0f}s left)")
+                time.sleep(min(delay, max(0.0, deadline - time.time())))
+                delay = min(delay * 2, 120.0)
+
+    t = threading.Thread(target=_attempt, daemon=True)
+    t.start()
+    t.join(retry_budget + 60.0)
+    if "devices" not in result:
+        err = result.get("err")
+        raise RuntimeError(
+            f"backend init {'failed: ' + repr(err) if err else 'hung'} "
+            f"after {retry_budget:.0f}s")
+    log(f"devices: {result['devices']}")
+    return result["devices"]
+
+
 def main():
     from flownet4d_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
 
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    log(f"devices: {jax.devices()}")
+    _init_backend_with_retry()
 
     pps, _ = measure_train(dtype_name, max_windows=5)
 
@@ -294,10 +384,14 @@ def main_inference():
 
     enable_compilation_cache()
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    _init_backend_with_retry()
     spf = measure_inference(dtype_name)
     baseline = _baseline("tf_cpu_inference_sec_per_frame")
+    vol = int(os.environ.get("BENCH_VOLUME", "0"))
+    geom = (f"{vol}^3 synthetic, predict_file" if vol
+            else "42x38x36 -> 84x76x72")
     print(json.dumps({
-        "metric": f"full-volume inference sec/frame (42x38x36 -> 84x76x72, {dtype_name})",
+        "metric": f"full-volume inference sec/frame ({geom}, {dtype_name})",
         "value": round(spf, 3),
         "unit": "sec/frame",
         "vs_baseline": round(baseline / spf, 2) if baseline else None,
@@ -309,6 +403,7 @@ def main_e2e():
 
     enable_compilation_cache()
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    _init_backend_with_retry()
     pps = measure_train_e2e(dtype_name)
     baseline = _baseline("tf_cpu_train_patches_per_sec")
     print(json.dumps({
@@ -320,9 +415,26 @@ def main_e2e():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "inference":
-        main_inference()
-    elif os.environ.get("BENCH_MODE") == "e2e":
-        main_e2e()
-    else:
-        main()
+    # Contract: exactly ONE JSON line on stdout, no matter what. On an
+    # unrecoverable failure (e.g. the TPU relay stayed down past the
+    # retry window) emit {"error": ...} instead of a stack trace so the
+    # driver's artifact is always machine-readable (VERDICT r3 item 2).
+    try:
+        if os.environ.get("BENCH_MODE") == "inference":
+            main_inference()
+        elif os.environ.get("BENCH_MODE") == "e2e":
+            main_e2e()
+        else:
+            main()
+    except BaseException as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "train patches/sec/chip",
+            "value": None,
+            "unit": "patches/sec",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        sys.exit(1)

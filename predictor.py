@@ -37,6 +37,9 @@ def main():
     p.add_argument("--low-resblock", type=int, default=8)
     p.add_argument("--hi-resblock", type=int, default=4)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="proceed with randomly initialised weights when "
+                        "--model-path does not exist (bench/test use only)")
     p.add_argument("--f16-transfer", action="store_true",
                    help="ship inputs/outputs over the wire as float16 "
                         "(halves transfer bytes; ~5e-4 rel quantisation)")
@@ -44,6 +47,15 @@ def main():
 
     input_filepath = os.path.join(args.data_dir, args.filename)
     output_filepath = os.path.join(args.output_dir, args.output_filename)
+
+    # Validate the weight path BEFORE any backend/model init: the
+    # reference crashes on a missing weight file
+    # (/root/reference/src/predictor.py:60-61); a typo'd path must not
+    # silently produce a garbage output volume.
+    have_weights = bool(args.model_path) and os.path.exists(args.model_path)
+    if not have_weights and not args.allow_random_init:
+        p.error(f"model path {args.model_path!r} not found "
+                "(pass --allow-random-init to run with random weights)")
 
     print(f"Loading 4DFlowNet: {args.res_increase}x upsample")
     predictor = VolumePredictor(
@@ -55,11 +67,11 @@ def main():
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         transfer_dtype=np.float16 if args.f16_transfer else np.float32,
     )
-    if args.model_path and os.path.exists(args.model_path):
+    if have_weights:
         predictor.load_weights(args.model_path, keras=args.keras)
     else:
         print(f"WARNING: model path {args.model_path!r} not found — "
-              "running with randomly initialised weights.")
+              "running with randomly initialised weights (--allow-random-init).")
 
     predictor.predict_file(
         input_filepath,

@@ -45,6 +45,46 @@ def test_script_help_exposes_reference_tunables(script, expected_flags):
         assert flag in out, f"{script} missing {flag}"
 
 
+def test_predictor_missing_model_path_fails_hard(tmp_path):
+    """A typo'd --model-path must be a hard argparse error, not a silent
+    random-weights run (the reference crashes too, predictor.py:60-61).
+    --allow-random-init is the explicit bench/test escape hatch."""
+    res = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "predictor.py"),
+         "--model-path", str(tmp_path / "nope.h5"),
+         "--data-dir", "/root/reference/data",
+         "--output-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 2, (res.returncode, res.stderr[-500:])
+    assert "not found" in res.stderr
+    assert "--allow-random-init" in res.stderr
+    # And the help advertises the escape hatch.
+    assert "--allow-random-init" in _help("predictor.py")
+
+
+def test_bench_emits_one_json_line_on_backend_failure():
+    """bench.py's contract: exactly ONE JSON line on stdout even when the
+    backend never comes up (BENCH_r03 was an unparseable stack trace —
+    VERDICT r3 item 2). BENCH_FORCE_PLATFORM injects the failure; the
+    retry budget is shrunk so the watchdog gives up immediately."""
+    import json
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "BENCH_FORCE_PLATFORM": "nonexistent_platform",
+             "BENCH_INIT_RETRY_S": "2"},
+    )
+    assert res.returncode == 1
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    parsed = json.loads(lines[0])
+    assert parsed["value"] is None
+    assert "error" in parsed and parsed["error"], parsed
+
+
 def test_trainer_config_file_defaults(tmp_path):
     """--config FILE seeds argparse defaults; explicit flags still win;
     unknown keys are rejected."""
