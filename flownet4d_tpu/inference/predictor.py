@@ -108,13 +108,14 @@ class VolumePredictor:
                 opt = optax.adam(1e-4)
                 template = TrainState(host_params, opt.init(host_params), jnp.zeros((), jnp.int32))
                 params = ckpt.restore_train_state(path, template).params
-            except (ValueError, KeyError, TypeError) as template_err:
+            except Exception as template_err:  # noqa: BLE001
                 # Tree-structure mismatch (checkpoint written with a
-                # different optimizer/schedule state): retry as a raw
-                # restore. Anything else (missing/corrupt checkpoint, IO
-                # errors) propagates immediately. If the raw path fails
-                # too, surface the original template error as context
-                # rather than a confusing downstream shape error.
+                # different optimizer/schedule state) — which orbax may
+                # surface as its own exception types, not just
+                # ValueError/KeyError/TypeError — so catch broadly and
+                # retry as a raw restore. A genuinely missing/corrupt
+                # checkpoint fails the raw path too and raises the
+                # combined error below with the original as context.
                 import orbax.checkpoint as ocp
 
                 try:

@@ -158,6 +158,7 @@ class TrainerController:
         self.start_epoch = 0  # set by resume_from()
         self._best_val = np.inf
         self._stop_requested = False
+        self._epoch_stop = False  # consensus value captured at epoch exit
 
         if remat is None:
             remat = False
@@ -383,6 +384,15 @@ class TrainerController:
         os.makedirs(self.model_dir, exist_ok=True)
         self._prepare_logfile_and_summary()
 
+        meta = {}
+        meta_path = f"{self.model_path}-latest.meta.json"
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.start_epoch = int(meta.get("epoch", 0))
+            best = meta.get("best_loss")
+            self._best_val = float(best) if best is not None else np.inf
+
         restored_path = None
         for suffix in ("-latest.ckpt", "-best.ckpt"):
             path = f"{self.model_path}{suffix}"
@@ -392,23 +402,20 @@ class TrainerController:
                     restored = ckpt.restore_train_state(path, template)
                 except (ValueError, KeyError, TypeError):
                     # Layout drift (optimizer/EMA config changed between
-                    # runs): keep the params, restart optimizer state.
+                    # runs): keep the params, restart optimizer state. The
+                    # step counter comes from the meta sidecar — a fresh
+                    # template's step 0 would rewind a cosine lr schedule
+                    # to lr-max mid-run.
                     params = ckpt.restore_params(path, template.params)
+                    step = np.asarray(meta.get("step", 0)).astype(
+                        np.asarray(template.step).dtype)
                     restored = TrainState(
-                        params, self.optimizer.init(params), template.step,
+                        params, self.optimizer.init(params), step,
                         jax.tree_util.tree_map(np.copy, params)
                         if self.ema_decay else None)
                 self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
                 restored_path = path
                 break
-
-        meta_path = f"{self.model_path}-latest.meta.json"
-        if os.path.isfile(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            self.start_epoch = int(meta.get("epoch", 0))
-            best = meta.get("best_loss")
-            self._best_val = float(best) if best is not None else np.inf
 
         if restored_path:
             step = int(np.asarray(jax.device_get(self.state.step)))
@@ -489,9 +496,13 @@ class TrainerController:
 
             i = self.run_train_epoch(trainset, epoch, start_loop, total_batch_train)
 
-            if self._stop_requested:
+            if self._epoch_stop:
                 # Mid-epoch preemption: this epoch is incomplete, resume
-                # restarts it (meta epoch = completed epochs).
+                # restarts it (meta epoch = completed epochs). Branch on
+                # the consensus value captured at the epoch's loop exit,
+                # NOT the raw flag: a signal landing between that final
+                # allgather and this line would otherwise stop only this
+                # host (it is picked up at the next consensus point).
                 self.save_latest_model(epoch, force=True, best_loss=previous_loss)
                 break
 
@@ -504,10 +515,13 @@ class TrainerController:
                     f"{time.time()-start_loop:.1f} secs"
                 )
                 print(f"\r{msg}", end="")
-                if self._stop_requested:
+                # Consensus cadence, same as the train loop: all hosts
+                # poll at identical batch indices so none leaves the
+                # validation collectives early on a host-local flag.
+                if self._sync_stop_requested(i + 1):
                     break
 
-            if self._stop_requested:
+            if self._stop_consensus():
                 # Partial validation: don't let it drive the best-model
                 # decision; checkpoint and resume re-runs this epoch.
                 self.save_latest_model(epoch, force=True, best_loss=previous_loss)
@@ -597,6 +611,14 @@ class TrainerController:
                 break
         if pending is not None:
             self._update_metrics(pending, "train")
+        # Unconditional consensus at the loop exit: a SIGTERM landing in
+        # the tail batches (i % sync_every != 0), or in an epoch shorter
+        # than the sync cadence, must still reach every host before the
+        # caller branches on the flag — otherwise one host checkpoints
+        # and stops while its peers enter validation/the next epoch and
+        # the collective program deadlocks. The caller branches on the
+        # captured value, not the (still signal-mutable) raw flag.
+        self._epoch_stop = self._stop_consensus()
         return i
 
     # Multi-process stop consensus cadence (batches). The allgather is a
@@ -624,6 +646,17 @@ class TrainerController:
             return self._stop_requested
         if i % self._stop_sync_every:
             return False
+        return self._stop_consensus()
+
+    def _stop_consensus(self) -> bool:
+        """Unconditional cross-process max-reduce of the stop flag.
+
+        Called at every loop exit (train epoch end, validation end) and
+        on the periodic cadence by ``_sync_stop_requested``, so every
+        branch on ``_stop_requested`` after a loop sees the same value on
+        every host. Single-process: just the local flag."""
+        if jax.process_count() == 1:
+            return self._stop_requested
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -738,17 +771,14 @@ class TrainerController:
         # Predictions correspond to the *rotated* inputs (augmentation runs
         # on device); rotate the saved ground truth to match, as the
         # reference's host pipeline implicitly does (TrainerController.py:421-452
-        # saves the already-rotated batch).
-        from ..data.patch_loader import rotate_patch_host
+        # saves the already-rotated batch). Same vectorised device op as
+        # the train step — not a per-sample host loop.
+        from ..ops.rotate import batched_rotate_sample
 
-        lr = batch.lr[real].copy()
-        hr = batch.hr[real].copy()
-        mask = batch.mask[real].copy()
-        for i, case in enumerate(batch.rot_case[real]):
-            if case:
-                lr[i] = rotate_patch_host(lr[i], int(case), "phase")
-                hr[i] = rotate_patch_host(hr[i], int(case), "phase")
-                mask[i] = rotate_patch_host(mask[i], int(case), "mask")
+        lr, hr, _, mask = jax.device_get(batched_rotate_sample(
+            batch.lr[real], batch.hr[real], batch.mag[real],
+            batch.mask[real], batch.rot_case[real]))
+        lr, hr, mask = np.asarray(lr), np.asarray(hr), np.asarray(mask)
         batch = batch._replace(
             lr=lr, hr=hr, mask=mask,
             venc=batch.venc[real], weight=batch.weight[real],

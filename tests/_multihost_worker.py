@@ -44,6 +44,18 @@ def main():
     # Consensus batch (i % 16 == 0): allgather -> both processes stop.
     assert TrainerController._sync_stop_requested(tc, 16) is True
     print(f"SYNC_STOP_OK pid={pid}")
+
+    # Loop-exit consensus (_stop_consensus): a SIGTERM landing in the tail
+    # batches (i % 16 != 0) or during validation must still reach every
+    # host unconditionally before the epoch-boundary branch (ADVICE r3).
+    tc2 = object.__new__(TrainerController)
+    tc2._stop_requested = pid == 1  # the OTHER host this time
+    assert TrainerController._stop_consensus(tc2) is True
+    assert tc2._stop_requested is True
+    tc3 = object.__new__(TrainerController)
+    tc3._stop_requested = False  # nobody signaled: consensus must be False
+    assert TrainerController._stop_consensus(tc3) is False
+    print(f"STOP_CONSENSUS_OK pid={pid}")
     print(f"MULTIHOST_OK pid={pid}")
 
 

@@ -57,4 +57,5 @@ def test_two_process_cpu_cluster(tmp_path):
         assert p.returncode == 0, f"worker {i} rc={p.returncode}:\n{out}"
         assert f"MULTIHOST_OK pid={i}" in out, f"worker {i} output:\n{out}"
         assert f"SYNC_STOP_OK pid={i}" in out, f"worker {i} output:\n{out}"
+        assert f"STOP_CONSENSUS_OK pid={i}" in out, f"worker {i} output:\n{out}"
         assert "dryrun_multichip(4): ok" in out

@@ -199,6 +199,34 @@ def test_restore_across_optimizer_layouts(tmp_path):
     tc2.train_step(_random_batch(seed=1))
 
 
+def test_resume_layout_drift_restores_step_from_meta(tmp_path):
+    """resume_from's params-only fallback (checkpoint written with a
+    different optimizer/EMA layout) must restore the step counter from the
+    meta sidecar, not the fresh template's 0 — a cosine schedule would
+    otherwise restart at lr-max mid-run (ADVICE r3)."""
+    import os
+
+    tc = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]))
+    for s in range(3):
+        tc.train_step(_random_batch(seed=s))
+    tc.model_dir = str(tmp_path / "run")
+    tc.model_path = str(tmp_path / "run" / "tiny")
+    os.makedirs(tc.model_dir, exist_ok=True)
+    tc.save_latest_model(1, force=True)
+
+    import optax
+
+    sched = optax.cosine_decay_schedule(1e-3, decay_steps=100, alpha=0.01)
+    tc2 = _tiny_controller(tmp_path, make_mesh(jax.devices()[:1]), seed=99,
+                           lr_schedule=sched, ema_decay=0.99)
+    assert tc2.resume_from(tc.model_dir)
+    assert int(np.asarray(jax.device_get(tc2.state.step))) == 3
+    # and the resumed lr reflects the restored step, not step 0
+    assert tc2.current_lr() == pytest.approx(float(sched(3)))
+    tc2.train_step(_random_batch(seed=9))
+    assert int(np.asarray(jax.device_get(tc2.state.step))) == 4
+
+
 def test_end_to_end_epoch_on_reference_data(tmp_path):
     """One real epoch: loader -> train -> val -> quicksave artifacts."""
     rows = load_indexes(f"{REFERENCE_DATA_DIR}/train.csv")
