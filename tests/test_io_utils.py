@@ -77,6 +77,28 @@ def test_packed_roundtrip_exact_for_representable_values():
         )
 
 
+def test_packed_mask_bitpack_odd_size():
+    """Bit-packed mask round-trips when P^3 is not a byte multiple
+    (np.packbits zero-pads the last byte; unpack slices it off)."""
+    rng = np.random.default_rng(3)
+    b, p, r = 2, 3, 1  # P = 3 -> P^3 = 27 bits = 4 bytes with 5 pad bits
+    batch = TrainingBatch(
+        lr=rng.uniform(-1, 1, (b, p, p, p, 3)).astype(np.float32),
+        mag=rng.uniform(0, 1, (b, p, p, p, 3)).astype(np.float32),
+        hr=rng.uniform(-1, 1, (b, p, p, p, 3)).astype(np.float32),
+        venc=np.full((b,), 1.0, np.float32),
+        mask=(rng.uniform(size=(b, p, p, p)) > 0.5).astype(np.float32),
+        rot_case=np.array([7, 2], np.int32),
+        weight=np.array([1, 0], np.float32),
+    )
+    pb = pack_batch(batch)
+    assert pb.u8.shape == (b, 4 + 2)  # ceil(27/8) + rot + weight
+    out = unpack_batch(pb, p, r)
+    np.testing.assert_array_equal(np.asarray(out.mask), batch.mask)
+    np.testing.assert_array_equal(np.asarray(out.rot_case), batch.rot_case)
+    np.testing.assert_array_equal(np.asarray(out.weight), batch.weight)
+
+
 def test_packed_quantization_bounded():
     rng = np.random.default_rng(2)
     b, p, r = 2, 6, 2
