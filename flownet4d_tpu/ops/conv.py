@@ -42,7 +42,7 @@ def pad_reflect(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, cfg, mode="reflect")
 
 
-def _conv_same(x, kernel, precision):
+def _conv_same(x, kernel, precision, groups: int = 1):
     return lax.conv_general_dilated(
         x,
         kernel,
@@ -50,10 +50,26 @@ def _conv_same(x, kernel, precision):
         padding=[(1, 1)] * 3,
         dimension_numbers=CONV_DIMENSION_NUMBERS,
         precision=precision,
+        feature_group_count=groups,
     )
 
 
-def _conv_same_fast_dgrad(x, kernel, precision):
+def _grouped_dgrad_kernel(kernel: jax.Array, groups: int) -> jax.Array:
+    """Kernel for spelling a grouped conv's input-gradient as a forward
+    grouped conv: per group, flip spatially and swap in/out channels.
+
+    kernel: (kd, kh, kw, Cin/g, Cout) with output channels laid out in g
+    contiguous group chunks (lax grouped-conv convention). Returns
+    (kd, kh, kw, Cout/g, Cin)."""
+    kd, kh, kw, ci_g, co = kernel.shape
+    co_g = co // groups
+    k = jnp.flip(kernel, axis=(0, 1, 2))
+    k = k.reshape(kd, kh, kw, ci_g, groups, co_g)
+    k = k.transpose(0, 1, 2, 5, 4, 3)  # (.., Co_g, g, Ci_g)
+    return k.reshape(kd, kh, kw, co_g, groups * ci_g)
+
+
+def _conv_same_fast_dgrad(x, kernel, precision, groups: int = 1):
     """SAME conv whose input-gradient is spelled as a *forward-form* conv.
 
     XLA's native transpose of a SAME conv emits the data-gradient with the
@@ -69,16 +85,16 @@ def _conv_same_fast_dgrad(x, kernel, precision):
 
     @jax.custom_vjp
     def f(x, k):
-        return _conv_same(x, k, precision)
+        return _conv_same(x, k, precision, groups)
 
     def fwd(x, k):
-        return _conv_same(x, k, precision), (x, k)
+        return _conv_same(x, k, precision, groups), (x, k)
 
     def bwd(res, g):
         xr, k = res
-        k_rev = jnp.flip(k, axis=(0, 1, 2)).swapaxes(3, 4)
-        dx = _conv_same(g, k_rev, precision)
-        _, vjp_k = jax.vjp(lambda kk: _conv_same(xr, kk, precision), k)
+        k_rev = _grouped_dgrad_kernel(k, groups)
+        dx = _conv_same(g, k_rev, precision, groups)
+        _, vjp_k = jax.vjp(lambda kk: _conv_same(xr, kk, precision, groups), k)
         (dk,) = vjp_k(g)
         return dx, dk
 
@@ -87,7 +103,7 @@ def _conv_same_fast_dgrad(x, kernel, precision):
 
 
 def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision,
-                  fast_dgrad: bool = False) -> jax.Array:
+                  fast_dgrad: bool = False, groups: int = 1) -> jax.Array:
     """Symmetric-pad(1) + VALID k=3 conv without materialising the pad.
 
     For pad width 1, TF ``SYMMETRIC`` padding equals edge-replicate (clamp)
@@ -132,10 +148,11 @@ def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision,
             padding=padding,
             dimension_numbers=CONV_DIMENSION_NUMBERS,
             precision=precision,
+            feature_group_count=groups,
         )
 
     bulk = _conv_same_fast_dgrad if fast_dgrad else _conv_same
-    y = bulk(x, kernel, precision)
+    y = bulk(x, kernel, precision, groups)
 
     corrections = []
     for ax in range(3):  # spatial axis: 0=z(dim1), 1=y(dim2), 2=x(dim3)
@@ -212,16 +229,21 @@ def conv3d_symmetric_pad(
     precision=None,
     fused_boundary: bool = True,
     fast_dgrad: bool = False,
+    groups: int = 1,
 ) -> jax.Array:
     """3D convolution with reference-equivalent padding semantics.
 
     Parameters
     ----------
     x : (N, D, H, W, Cin) activations.
-    kernel : (kd, kh, kw, Cin, Cout) filter (DHWIO).
+    kernel : (kd, kh, kw, Cin/groups, Cout) filter (DHWIO).
     bias : optional (Cout,) bias.
     padding : 'SYMMETRIC' | 'REFLECT' | 'SAME' | 'VALID' — mirrors the
         reference conv3d options (SR4DFlowNet.py:101-107).
+    groups : feature_group_count. With tied per-group kernels this packs
+        pairs of samples side-by-side in the channel dim so 64-channel
+        convs fill all 128 MXU lanes (scripts/ab_lanes.py) — identical
+        per-sample math.
     """
     k = kernel.shape[0]
     p = (k - 1) // 2
@@ -231,7 +253,7 @@ def conv3d_symmetric_pad(
             and k == 3
             and all(n >= 2 for n in x.shape[1:4])
         ):
-            y = _clamp_conv3d(x, kernel, precision, fast_dgrad)
+            y = _clamp_conv3d(x, kernel, precision, fast_dgrad, groups)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
@@ -252,6 +274,7 @@ def conv3d_symmetric_pad(
         padding=lax_padding,
         dimension_numbers=CONV_DIMENSION_NUMBERS,
         precision=precision,
+        feature_group_count=groups,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
