@@ -39,6 +39,9 @@ def main():
                     choices=[None, "default", "high", "highest"])
     ap.add_argument("--trace", action="store_true",
                     help="also trace the fast_dgrad step and print top ops")
+    ap.add_argument("--flag", default="fast_dgrad",
+                    choices=["fast_dgrad", "lane_pack"],
+                    help="which TrainerController boolean to A/B")
     args = ap.parse_args()
 
     from flownet4d_tpu.utils.cache import enable_compilation_cache
@@ -56,12 +59,12 @@ def main():
     host = make_inputs(batch)
     b = TrainingBatch(**host)
 
-    def build(fast):
+    def build(on):
         return TrainerController(
             patch, res, 2e-4, False, "abfd", 8, 4,
             compute_dtype=dt, models_dir="/tmp/prof_models",
             packed_transfer=False, precision=args.precision,
-            fast_dgrad=fast,
+            **{args.flag: on},
         )
 
     def time_ctrl(tc, dev, n):
@@ -85,20 +88,20 @@ def main():
 
     results = {}
     ctrls = {}
-    for fast in (False, True):
-        tc = build(fast)
+    for on in (False, True):
+        tc = build(on)
         dev = tc._put(b)
         ms = time_ctrl(tc, dev, args.steps)
-        results[fast] = ms
-        ctrls[fast] = (tc, dev)
-        log(f"fast_dgrad={fast}: {ms:.1f} ms/step -> "
+        results[on] = ms
+        ctrls[on] = (tc, dev)
+        log(f"{args.flag}={on}: {ms:.1f} ms/step -> "
             f"{batch/ms*1000:.1f} patches/s")
 
     # Gradient equivalence on-chip: one step from identical params must
     # land on (numerically) the same loss.
     base_ms, fast_ms = results[False], results[True]
     log(f"\nA/B ({args.dtype}, precision={args.precision or 'auto'}): "
-        f"base {base_ms:.1f} ms vs fast_dgrad {fast_ms:.1f} ms "
+        f"base {base_ms:.1f} ms vs {args.flag} {fast_ms:.1f} ms "
         f"-> x{base_ms/fast_ms:.3f}")
 
     if args.trace:
