@@ -146,6 +146,19 @@ def main():
                         "reference, which never clips; recommended ~1.0 on "
                         "small/augmented cohorts where Adam hits "
                         "edge-of-stability oscillation — docs/training.md)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear lr warmup steps ahead of the cosine decay "
+                        "(only with --lr-schedule cosine); calibrates fresh "
+                        "Adam state before full-size steps (docs/training.md)")
+    p.add_argument("--rel-loss-weight", type=float, default=0.0,
+                   help="weight of the smooth relative-speed-error loss "
+                        "term (ops/losses.py::relative_error_loss). The "
+                        "reference reports this metric (loss_utils.py:64-"
+                        "103) but trains on masked MSE only; >0 optimizes "
+                        "the published metric directly (extension)")
+    p.add_argument("--rel-loss-eps", type=float, default=0.05,
+                   help="denominator floor of the rel loss term, in "
+                        "venc-normalized speed units")
     p.add_argument("--latest-every", type=int, default=10,
                    help="epoch cadence for the -latest.ckpt autosave")
     p.add_argument("--config", default=None, metavar="FILE",
@@ -189,11 +202,25 @@ def main():
         import optax
 
         steps_per_epoch = max(1, len(trainset))
-        lr_schedule = optax.cosine_decay_schedule(
-            args.initial_learning_rate,
-            decay_steps=max(1, args.epochs * steps_per_epoch),
-            alpha=args.lr_final / args.initial_learning_rate,
-        )
+        total = max(1, args.epochs * steps_per_epoch)
+        if args.warmup_steps > 0:
+            # Linear 0 -> peak warmup ahead of the cosine: lets fresh Adam
+            # calibrate v_hat before full-size steps — the round-3/4
+            # post-mortem fix for near-init / just-restored ejections
+            # (docs/training.md).
+            lr_schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=args.initial_learning_rate,
+                warmup_steps=args.warmup_steps,
+                decay_steps=total,
+                end_value=args.lr_final,
+            )
+        else:
+            lr_schedule = optax.cosine_decay_schedule(
+                args.initial_learning_rate,
+                decay_steps=total,
+                alpha=args.lr_final / args.initial_learning_rate,
+            )
 
     print(f"4DFlowNet Patch {args.patch_size}, lr {args.initial_learning_rate}, "
           f"batch {args.batch_size}")
@@ -220,6 +247,8 @@ def main():
         clip_norm=args.clip_norm,
         adam_eps=args.adam_eps,
         ema_decay=args.ema_decay,
+        rel_loss_weight=args.rel_loss_weight,
+        rel_loss_eps=args.rel_loss_eps,
     )
     if args.resume:
         network.resume_from(args.resume)
