@@ -16,6 +16,7 @@ by simple pipelining of device_put.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 
@@ -47,6 +48,9 @@ class VolumePredictor:
         transfer_dtype=np.float32,  # np.float16 halves host->device bytes;
         #                             quantisation (~5e-4 rel) is below MR noise
         channels: int = 64,  # the reference pins 64; overridable for tests/scaling
+        residual_skip: bool = False,  # trilinear-residual output heads
+        #   (SR4DFlowNetConfig.residual_skip); auto-detected from .h5
+        #   attrs at load_weights time
     ):
         self.patch_size = patch_size
         self.res_increase = res_increase
@@ -56,17 +60,22 @@ class VolumePredictor:
         self.batch_size = max(batch_size, ((batch_size + n_dev - 1) // n_dev) * n_dev)
 
         self.transfer_dtype = transfer_dtype
-        self.config = SR4DFlowNetConfig(
+        self._build_model(SR4DFlowNetConfig(
             res_increase=res_increase,
             low_resblock=low_resblock,
             hi_resblock=hi_resblock,
             channels=channels,
             dtype=compute_dtype,
-        )
+            residual_skip=residual_skip,
+        ), params, seed)
+
+    def _build_model(self, config: SR4DFlowNetConfig, params=None, seed: int = 0):
+        self.config = config
+        self.res_increase = config.res_increase
         self.model = SR4DFlowNet(self.config)
 
         if params is None:
-            p = patch_size
+            p = self.patch_size
             dummy = jnp.zeros((1, p, p, p, 3), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy, dummy)["params"]
         self.params = put_with_sharding(params, replicated_sharding(self.mesh))
@@ -77,9 +86,11 @@ class VolumePredictor:
         # crosses the relay — 42% fewer readback bytes at patch 24. The
         # readback also travels in transfer_dtype (f16 halves it again in
         # throughput mode; ~5e-4 rel quantisation, below MR noise).
+        res_increase = config.res_increase
         s = 2 * res_increase
-        P = patch_size * res_increase
-        out_dtype = jnp.float16 if transfer_dtype == np.float16 else jnp.float32
+        P = self.patch_size * res_increase
+        out_dtype = (jnp.float16 if self.transfer_dtype == np.float16
+                     else jnp.float32)
 
         def fwd(params, vel, mag):
             pred = self.model.apply({"params": params}, vel, mag)
@@ -91,6 +102,29 @@ class VolumePredictor:
 
     def load_weights(self, path: str, keras: bool = False) -> None:
         from ..training import checkpoint as ckpt
+
+        # Architecture attrs written by save_weights_h5 (round 5+): if the
+        # file says the network differs from how this predictor was
+        # constructed (e.g. it was trained with residual_skip or other
+        # resblock counts), rebuild to match — the file wins.
+        attrs = ckpt.read_h5_model_attrs(path) if not keras else {}
+        if attrs:
+            cfg = dataclasses.replace(
+                self.config,
+                res_increase=int(attrs.get("res_increase",
+                                           self.config.res_increase)),
+                low_resblock=int(attrs.get("low_resblock",
+                                           self.config.low_resblock)),
+                hi_resblock=int(attrs.get("hi_resblock",
+                                          self.config.hi_resblock)),
+                channels=int(attrs.get("channels", self.config.channels)),
+                residual_skip=bool(attrs.get("residual_skip",
+                                             self.config.residual_skip)),
+            )
+            if cfg != self.config:
+                print(f"load_weights: rebuilding model from {path} attrs "
+                      f"({attrs})")
+                self._build_model(cfg)
 
         host_params = jax.device_get(self.params)
         if keras:

@@ -87,6 +87,19 @@ class SR4DFlowNetConfig:
     # Identical per-sample math and an unchanged param tree; requires an
     # even batch (falls back to dense when B is odd or 1).
     lane_pack: bool = False
+    # Residual-from-trilinear output (EXTENSION over the reference): the
+    # heads predict a *correction* added to the align-corners trilinear
+    # upsample of the input velocities, and the final head kernels are
+    # zero-initialised so the untrained network reproduces trilinear
+    # interpolation exactly. Training then starts at the interpolation
+    # baseline and can only improve on it — the reference architecture
+    # (SR4DFlowNet.py:39-51) has no input skip, so it must regenerate the
+    # whole velocity field from scratch and can converge into
+    # low-magnitude basins far below the trivial baseline
+    # (docs/training.md round-4 post-mortem). Param tree is unchanged
+    # (zero init, not extra params), so .h5 interop works both ways; the
+    # flag is stored in the .h5 attrs and auto-detected at load.
+    residual_skip: bool = False
 
     def resolved_precision(self):
         if self.precision is not None:
@@ -114,6 +127,7 @@ class Conv3D(nn.Module):
     # bias are tied across groups at call time, so the param tree is
     # byte-identical to the dense path.
     groups: int = 1
+    kernel_init: Any = None  # default glorot_uniform (Keras Conv3D default)
 
     @nn.compact
     def __call__(self, x):
@@ -121,7 +135,7 @@ class Conv3D(nn.Module):
         g = self.groups
         kernel = self.param(
             "kernel",
-            nn.initializers.glorot_uniform(),
+            self.kernel_init or nn.initializers.glorot_uniform(),
             (k, k, k, x.shape[-1] // g, self.features),
             jnp.float32,
         )
@@ -157,13 +171,14 @@ class _ConvParams(nn.Module):
     features: int
     in_features: int
     kernel_size: int = 3
+    kernel_init: Any = None  # default glorot_uniform (Keras Conv3D default)
 
     @nn.compact
     def __call__(self):
         k = self.kernel_size
         kernel = self.param(
             "kernel",
-            nn.initializers.glorot_uniform(),
+            self.kernel_init or nn.initializers.glorot_uniform(),
             (k, k, k, self.in_features, self.features),
             jnp.float32,
         )
@@ -236,7 +251,11 @@ class SR4DFlowNet(nn.Module):
         prec = cfg.resolved_precision()
         fb = cfg.fused_boundary
         fd = cfg.fast_dgrad
+        # Zero-init the final (1-channel) head kernels under residual_skip
+        # so the untrained output IS the trilinear baseline.
+        head2_init = nn.initializers.zeros if cfg.residual_skip else None
 
+        velocity_in = velocity  # pre-cast input, for the residual skip
         velocity = velocity.astype(dt)
         magnitude = magnitude.astype(dt)
 
@@ -350,7 +369,8 @@ class SR4DFlowNet(nn.Module):
             k1s, b1s, k2s, b2s = [], [], [], []
             for comp in ("u", "v", "w"):
                 k1, b1 = _ConvParams(c, c, name=f"{comp}_head1")()
-                k2, b2 = _ConvParams(1, c, name=f"{comp}_head2")()
+                k2, b2 = _ConvParams(1, c, kernel_init=head2_init,
+                                     name=f"{comp}_head2")()
                 k1s.append(k1), b1s.append(b1), k2s.append(k2), b2s.append(b2)
             K1 = tie(jnp.concatenate(k1s, axis=-1).astype(dt))  # (3,3,3,c,g*3c)
             B1 = tie(jnp.concatenate(b1s))
@@ -374,10 +394,19 @@ class SR4DFlowNet(nn.Module):
             heads = []
             for comp in ("u", "v", "w"):
                 h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name=f"{comp}_head1")(x))
-                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name=f"{comp}_head2")(h)  # linear output
+                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, kernel_init=head2_init, name=f"{comp}_head2")(h)  # linear output
                 heads.append(h)
             out = gcat(heads)
-        return unpack(out).astype(jnp.float32)
+        out = unpack(out).astype(jnp.float32)
+        if cfg.residual_skip:
+            # Heads predict a correction on top of the align-corners
+            # trilinear upsample of the input velocities (f32, HIGHEST —
+            # the baseline itself must not lose precision to the compute
+            # dtype; same op as the feature-path upsample above).
+            out = out + upsample3d(velocity_in.astype(jnp.float32),
+                                   cfg.res_increase,
+                                   precision=jax.lax.Precision.HIGHEST)
+        return out
 
     def forward_components(self, u, v, w, u_mag, v_mag, w_mag):
         """Reference-shaped API: six (B,D,H,W,1) inputs (TrainerController.py:38-48)."""

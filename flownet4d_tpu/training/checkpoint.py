@@ -45,12 +45,31 @@ def _unflatten_into(template, flat):
     return build(template)
 
 
-def save_weights_h5(path: str, params) -> None:
-    """Write the param tree to HDF5 under slash-separated flax paths."""
+def save_weights_h5(path: str, params, attrs: dict | None = None) -> None:
+    """Write the param tree to HDF5 under slash-separated flax paths.
+
+    ``attrs`` (model architecture metadata, e.g. resblock counts and the
+    residual_skip flag) land in the file's root attributes so loaders can
+    reconstruct the right network without CLI flags."""
     flat = _flatten(jax.device_get(params))
     with h5py.File(path, "w") as hf:
         for k, v in flat.items():
             hf.create_dataset(k, data=np.asarray(v))
+        for k, v in (attrs or {}).items():
+            hf.attrs[k] = v
+
+
+def read_h5_model_attrs(path: str) -> dict:
+    """Architecture metadata stored by save_weights_h5 (empty for files
+    written before round 5 and for reference Keras .h5 files)."""
+    if not (os.path.isfile(path) and path.endswith(".h5")):
+        return {}
+    try:
+        with h5py.File(path, "r") as hf:
+            return {k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in hf.attrs.items()}
+    except OSError:
+        return {}
 
 
 def load_weights_h5(path: str, params_template):

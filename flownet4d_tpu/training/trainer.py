@@ -64,6 +64,11 @@ class TrainState(NamedTuple):
     # the edge of stability (docs/training.md); the EMA averages across the
     # oscillation and is what val/best/export use when enabled.
     ema: Any = None
+    # Optional runtime learning-rate multiplier (None unless
+    # restart-on-spike is enabled). Lives in the (donated) state so a
+    # restart can halve the lr WITHOUT retracing the jitted train step —
+    # the schedule itself is baked into the compiled program.
+    lr_scale: Any = None
 
 
 class TrainerController:
@@ -151,6 +156,26 @@ class TrainerController:
         latest_every: int = 10,  # -latest.ckpt cadence in epochs (ref
         #   defines save_model('latest') but never calls it; we do, and a
         #   SIGTERM forces an immediate save regardless of cadence)
+        residual_skip: bool = False,  # heads predict a correction on top of
+        #   the trilinear upsample of the input (zero-init final kernels ->
+        #   the untrained net IS the interpolation baseline). Extension
+        #   over the reference; see SR4DFlowNetConfig.residual_skip.
+        metric_fetch_every: int = 8,  # train-loop metric readback cadence
+        #   (batches). Metrics accumulate ON DEVICE between fetches; a
+        #   per-batch device_get is a blocking relay round-trip that
+        #   measured ~2x on delivered e2e throughput (BENCH_r04: 19.24
+        #   e2e vs 39.2 pure). Epoch totals are exact for any cadence —
+        #   only the in-epoch progress line lags by < K batches. 1
+        #   restores the per-batch behaviour.
+        spike_factor: float | None = None,  # restart-on-spike: if an
+        #   epoch's mean train loss exceeds spike_factor * the best epoch
+        #   mean seen (or goes non-finite), reload the best checkpoint and
+        #   continue at half the learning rate. The round-4 release run
+        #   was lost to exactly one such ejection (epoch-9 train mean
+        #   10.08 vs ~0.06 typical) that monotone cosine decay then froze
+        #   into a bad basin (docs/training.md). None disables.
+        max_restarts: int = 3,  # cap on spike restarts per run (each one
+        #   halves the lr; past the cap spikes are logged but not acted on)
     ):
         self.rel_loss_weight = rel_loss_weight
         self.rel_loss_eps = rel_loss_eps
@@ -177,6 +202,12 @@ class TrainerController:
         self._best_val = np.inf
         self._stop_requested = False
         self._epoch_stop = False  # consensus value captured at epoch exit
+        self.metric_fetch_every = max(1, metric_fetch_every)
+        self.spike_factor = spike_factor
+        self.max_restarts = max_restarts
+        self._best_train = np.inf  # best epoch-mean train loss (spike ref)
+        self._restarts = 0
+        self._has_best_ckpt = False
 
         if remat is None:
             remat = False
@@ -200,6 +231,7 @@ class TrainerController:
             precision=prec,
             fast_dgrad=fast_dgrad,
             lane_pack=lane_pack,
+            residual_skip=residual_skip,
         )
         self.model = SR4DFlowNet(self.config)
 
@@ -227,7 +259,8 @@ class TrainerController:
         # Distinct buffers, not an alias: the donated train step would
         # otherwise donate the same buffer twice (params + ema leaves).
         ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
-        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema,
+                           self._fresh_lr_scale())
         # Replicate state over the mesh.
         rep = replicated_sharding(self.mesh)
         self.state = put_with_sharding(state, rep)
@@ -238,6 +271,12 @@ class TrainerController:
                                    compiler_options=XLA_COMPILER_OPTIONS)
         self._eval_step = jax.jit(partial(self._step, train=False),
                                   compiler_options=XLA_COMPILER_OPTIONS)
+        # Device-side metric accumulator add (donates the accumulator):
+        # lets the train loop fetch metrics every metric_fetch_every
+        # batches instead of per batch without holding K pending trees.
+        self._metric_add = jax.jit(
+            lambda acc, new: jax.tree_util.tree_map(jnp.add, acc, new),
+            donate_argnums=0)
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"SR4DFlowNet: {n_params/1e6:.2f}M params, "
@@ -245,6 +284,13 @@ class TrainerController:
               f"res x{res_increase}, {len(self.mesh.devices.flat)} device(s)")
         print(f"Divergence loss2 * {self.div_weight}")
         print(f"Accuracy metric: {self.accuracy_metric}")
+
+    def _fresh_lr_scale(self):
+        """Initial lr multiplier leaf: a scalar when restart-on-spike is
+        enabled (so restarts can halve it in-state without retracing),
+        None otherwise (keeps the TrainState/checkpoint layout of runs
+        that never use the feature unchanged)."""
+        return jnp.ones((), jnp.float32) if self.spike_factor else None
 
     # ------------------------------------------------------------------ #
     # Loss math
@@ -300,6 +346,12 @@ class TrainerController:
         if train:
             grads, (metrics, _) = jax.grad(objective, has_aux=True)(state.params)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+            if state.lr_scale is not None:
+                # Runtime lr multiplier (restart-on-spike halves it): the
+                # schedule inside the optimizer is compiled in, so the
+                # scale rides the state instead.
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * state.lr_scale, updates)
             params = optax.apply_updates(state.params, updates)
             # All-padding batches (zero-weight scan fillers) must be inert:
             # zero grads still move Adam (momentum decay), so gate the update.
@@ -313,7 +365,8 @@ class TrainerController:
                 ema = jax.tree_util.tree_map(
                     lambda e, p: sel(d * e + (1.0 - d) * p, e), ema, params)
             new_state = TrainState(params, opt_state,
-                                   state.step + is_real.astype(jnp.int32), ema)
+                                   state.step + is_real.astype(jnp.int32), ema,
+                                   state.lr_scale)
             return new_state, metrics
         else:
             _, (metrics, pred) = objective(state.params)
@@ -360,7 +413,7 @@ class TrainerController:
         """The state evaluation should use: EMA params when enabled."""
         s = self.state
         if self.ema_decay and s.ema is not None:
-            return TrainState(s.ema, s.opt_state, s.step)
+            return TrainState(s.ema, s.opt_state, s.step, None, s.lr_scale)
         return s
 
     def test_step(self, batch):
@@ -435,7 +488,8 @@ class TrainerController:
                     restored = TrainState(
                         params, self.optimizer.init(params), step,
                         jax.tree_util.tree_map(np.copy, params)
-                        if self.ema_decay else None)
+                        if self.ema_decay else None,
+                        self._fresh_lr_scale())
                 self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
                 restored_path = path
                 break
@@ -566,7 +620,15 @@ class TrainerController:
 
             self._update_summary_logging(epoch)
 
-            if self.loss_metrics[self.accuracy_metric].result() < previous_loss:
+            if self._spike_detected():
+                # Edge-of-stability ejection: this epoch's iterate left the
+                # basin (docs/training.md round-4 post-mortem). Reload the
+                # best checkpoint, halve the lr, and do NOT let the spiked
+                # epoch drive the best-model decision.
+                note = self._restart_from_spike()
+                message += f" {note}"
+                log_line += f",{note}"
+            elif self.loss_metrics[self.accuracy_metric].result() < previous_loss:
                 self.save_best_model()
                 previous_loss = self.loss_metrics[self.accuracy_metric].result()
                 message += " **"
@@ -605,24 +667,29 @@ class TrainerController:
                         total_batches: int | None = None) -> int:
         """One pass of the training hot loop; returns batches stepped.
 
-        Metrics are fetched with a one-step lag — step i's device_get
-        happens only after step i+1 is dispatched, so the per-batch host
-        sync (a relay RTT) overlaps the next step's upload + compute
-        instead of serialising the pipeline. The progress line therefore
-        trails by one batch. Shared by ``train_network`` and the e2e
-        benchmark so the measured loop IS the production loop.
+        Metrics accumulate ON DEVICE (a tiny donated tree-add dispatched
+        per batch — async, no readback) and are fetched only every
+        ``metric_fetch_every`` batches: a per-batch device_get is a
+        blocking relay round-trip that serialises the pipeline and
+        measured ~2x on delivered e2e throughput (BENCH_r04 19.24 e2e vs
+        39.2 pure step). Epoch totals are exact for any cadence; the
+        progress line lags by < metric_fetch_every batches. Shared by
+        ``train_network`` and the e2e benchmark so the measured loop IS
+        the production loop.
         """
         if start_loop is None:
             start_loop = time.time()
         if total_batches is None:
             total_batches = len(trainset) if hasattr(trainset, "__len__") else 0
         i = 0
-        pending = None
+        acc = None
         for dev_batch in self._device_batches(trainset):
-            if pending is not None:
-                self._update_metrics(pending, "train")
-            self.state, pending = self._train_step(self.state, dev_batch, train=True)
+            self.state, metrics = self._train_step(self.state, dev_batch, train=True)
+            acc = metrics if acc is None else self._metric_add(acc, metrics)
             i += 1
+            if i % self.metric_fetch_every == 0:
+                self._update_metrics(acc, "train")
+                acc = None
             msg = (
                 f"Epoch {epoch+1} Train batch {i}/{total_batches} | "
                 f"loss: {self.loss_metrics['train_loss'].result():.5f} "
@@ -632,8 +699,8 @@ class TrainerController:
             print(f"\r{msg}", end="")
             if self._sync_stop_requested(i):
                 break
-        if pending is not None:
-            self._update_metrics(pending, "train")
+        if acc is not None:
+            self._update_metrics(acc, "train")
         # Unconditional consensus at the loop exit: a SIGTERM landing in
         # the tail batches (i % sync_every != 0), or in an epoch shorter
         # than the sync cadence, must still reach every host before the
@@ -688,12 +755,60 @@ class TrainerController:
             self._stop_requested = True
         return self._stop_requested
 
+    # ------------------------------------------------------------------ #
+    # Restart-on-spike (extension; docs/training.md round-4 post-mortem)
+
+    def _spike_detected(self) -> bool:
+        """Epoch-mean train loss non-finite or > spike_factor * best seen.
+
+        Tracks the best epoch mean as the reference level. Deterministic
+        across hosts: the metric derives from replicated device values, so
+        every process takes the same branch at the same epoch."""
+        if not self.spike_factor:
+            return False
+        train_loss = self.loss_metrics["train_loss"].result()
+        if not np.isfinite(train_loss):
+            return True
+        if np.isfinite(self._best_train) and \
+                train_loss > self.spike_factor * self._best_train:
+            return True
+        self._best_train = min(self._best_train, train_loss)
+        return False
+
+    def _restart_from_spike(self) -> str:
+        """Reload the best checkpoint (when one exists) and halve the lr
+        via the in-state multiplier — no retrace. Returns a log note."""
+        self._restarts += 1
+        if self._restarts > self.max_restarts:
+            note = f"spike({self.loss_metrics['train_loss'].result():.3g}):ignored(max_restarts)"
+            print(f"\n{note}")
+            return note
+        template = jax.device_get(self.state)
+        scale = float(np.asarray(template.lr_scale)) * 0.5
+        best = f"{self.model_path}-best.ckpt"
+        if self._has_best_ckpt and os.path.isdir(best):
+            restored = ckpt.restore_train_state(best, template)
+            what = "restored best"
+        else:
+            restored = template  # no best yet: keep going, just slower
+            what = "no best ckpt"
+        restored = restored._replace(lr_scale=jnp.asarray(scale, jnp.float32))
+        self.state = put_with_sharding(restored, replicated_sharding(self.mesh))
+        note = (f"spike({self.loss_metrics['train_loss'].result():.3g}"
+                f">{self.spike_factor}x{self._best_train:.3g}):"
+                f"{what};lr_scale={scale:g}")
+        print(f"\nRestart-on-spike #{self._restarts}: {note}")
+        return note
+
     def current_lr(self, step: int | None = None) -> float:
+        scale = 1.0
+        if self.spike_factor and self.state.lr_scale is not None:
+            scale = float(np.asarray(jax.device_get(self.state.lr_scale)))
         if self.lr_schedule is None:
-            return self.learning_rate
+            return self.learning_rate * scale
         if step is None:
             step = int(np.asarray(jax.device_get(self.state.step)))
-        return float(self.lr_schedule(step))
+        return float(self.lr_schedule(step)) * scale
 
     def save_latest_model(self, epoch: int, force: bool = False,
                           best_loss: float = np.inf) -> None:
@@ -720,9 +835,23 @@ class TrainerController:
 
     def save_best_model(self) -> None:
         ckpt.save_train_state(f"{self.model_path}-best.ckpt", self.state)
-        # The portable .h5 is the released artifact: EMA params when enabled.
+        # The portable .h5 is the released artifact: EMA params when
+        # enabled, plus architecture attrs so loaders (predictor.py,
+        # evaluate_model.py) reconstruct the right network unaided.
         ckpt.save_weights_h5(f"{self.model_path}-best.h5",
-                             self._eval_view().params)
+                             self._eval_view().params,
+                             attrs=self.model_h5_attrs())
+        self._has_best_ckpt = True
+
+    def model_h5_attrs(self) -> dict:
+        c = self.config
+        return {
+            "res_increase": int(c.res_increase),
+            "low_resblock": int(c.low_resblock),
+            "hi_resblock": int(c.hi_resblock),
+            "channels": int(c.channels),
+            "residual_skip": int(bool(c.residual_skip)),
+        }
 
     def restore_model(self, old_model_dir: str, old_model_file: str | None = None) -> None:
         """Restore a full train state (preferred) or bare .h5 weights."""
@@ -738,7 +867,7 @@ class TrainerController:
             ema = (jax.tree_util.tree_map(np.copy, params)
                    if self.ema_decay else None)
             return TrainState(params, self.optimizer.init(params), state.step,
-                              ema)
+                              ema, self._fresh_lr_scale())
 
         if ckpt_path and os.path.isdir(ckpt_path):
             try:

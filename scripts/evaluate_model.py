@@ -115,10 +115,23 @@ def main():
 
     report = {"model": args.model_path}
 
+    # Architecture attrs stored in the .h5 (round 5+) override the CLI —
+    # a residual_skip model scored as a plain one would be nonsense.
+    from flownet4d_tpu.training import checkpoint as _ckpt
+
+    attrs = {} if args.keras else _ckpt.read_h5_model_attrs(args.model_path)
+    if attrs:
+        log(f"model attrs from h5: {attrs}")
+        args.res_increase = int(attrs.get("res_increase", args.res_increase))
+        args.low_resblock = int(attrs.get("low_resblock", args.low_resblock))
+        args.hi_resblock = int(attrs.get("hi_resblock", args.hi_resblock))
+    residual_skip = bool(attrs.get("residual_skip", 0))
+
     # ---- 1. patch-set metrics -----------------------------------------
     tc = TrainerController(
         args.patch_size, args.res_increase, 1e-4, False, "eval",
         args.low_resblock, args.hi_resblock, models_dir="/tmp/eval_models",
+        residual_skip=residual_skip,
     )
     mdir, mfile = os.path.split(args.model_path)
     tc.restore_model(mdir, mfile)

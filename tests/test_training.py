@@ -1,5 +1,7 @@
 """Training step semantics + multi-device data parallelism (8 virtual CPUs)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -389,43 +391,166 @@ def test_selective_remat_is_numerically_inert(tmp_path):
             base, params[k])
 
 
-def test_rel_loss_term_changes_objective_and_reduces_rel_err(tmp_path):
-    """rel_loss_weight>0 must (a) add a positive, differentiable term to the
-    loss and (b) actually drive the relative-error metric down when it
-    dominates the objective. rel_loss_weight=0 must reproduce the reference
-    objective exactly."""
+def test_rel_loss_term_adds_exactly_the_rel_term_and_is_optimizable(tmp_path):
+    """rel_loss_weight=W must add exactly W * relative_error_loss to the
+    objective (decomposition check: loss_with_rel - loss_without == the
+    directly-computed rel term on the same predictions), and the combined
+    objective must remain finite and descending under training."""
+    from flownet4d_tpu.ops.losses import relative_error_loss
+
     mesh1 = make_mesh(jax.devices()[:1])
-    batch = _random_batch(seed=5)
+    batch = _random_batch(seed=5)  # rot_case=0: eval rotation is identity
 
     tc_ref = _tiny_controller(tmp_path / "ref", mesh1, seed=11)
-    tc_off = _tiny_controller(tmp_path / "off", mesh1, seed=11,
-                              rel_loss_weight=0.0)
-    tc_ref.train_step(batch)
-    tc_off.train_step(batch)
-    for la, lb in zip(
-        jax.tree_util.tree_leaves(jax.device_get(tc_ref.state.params)),
-        jax.tree_util.tree_leaves(jax.device_get(tc_off.state.params)),
-    ):
-        np.testing.assert_array_equal(la, lb)  # weight=0 is the exact ref path
-
     tc_rel = _tiny_controller(tmp_path / "rel", mesh1, seed=11,
                               rel_loss_weight=1.0)
-    tc_rel.loss_metrics.reset()
-    tc_rel.train_step(batch)
-    first_loss = tc_rel.loss_metrics["train_loss"].result()
+
+    # Same seed -> identical params; eval both on the same batch.
     tc_ref.loss_metrics.reset()
-    tc_ref.test_step(batch)
+    pred = np.asarray(jax.device_get(tc_ref.test_step(batch)))
     ref_loss = tc_ref.loss_metrics["val_loss"].result()
-    assert first_loss > ref_loss  # the rel term is a positive addition
+    tc_rel.loss_metrics.reset()
+    tc_rel.test_step(batch)
+    rel_loss = tc_rel.loss_metrics["val_loss"].result()
+
+    expected_term = float(np.mean(np.asarray(relative_error_loss(
+        jnp.asarray(pred), jnp.asarray(batch.hr), jnp.asarray(batch.mask),
+        eps=tc_rel.rel_loss_eps))))
+    assert expected_term > 0
+    assert rel_loss - ref_loss == pytest.approx(expected_term, rel=1e-4)
 
     # The combined objective must be optimizable (finite, descending).
     # (The rel-err *metric* itself is not asserted to fall here: on random
     # uniform targets it sits near 100% and is dominated by noise at this
     # step count — see docs/training.md for the real-cohort evidence.)
-    losses = [first_loss]
-    for _ in range(10):
+    losses = []
+    for _ in range(11):
         tc_rel.loss_metrics.reset()
         tc_rel.train_step(batch)
         losses.append(tc_rel.loss_metrics["train_loss"].result())
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_restart_on_spike_reloads_best_and_halves_lr(tmp_path):
+    """spike_factor: an epoch whose mean train loss blows past
+    factor x best must (a) reload the best checkpoint's params and (b)
+    halve the effective lr via the in-state multiplier — the round-4
+    release run was lost to exactly one unhandled ejection
+    (docs/training.md)."""
+    mesh1 = make_mesh(jax.devices()[:1])
+    tc = _tiny_controller(tmp_path, mesh1, spike_factor=5.0)
+    tc.init_model_dir()
+
+    batches = [_random_batch(b=4, seed=i) for i in range(3)]
+    val = _ListDataset([_random_batch(b=4, seed=9)])
+    tc.train_network(_ListDataset(batches), val, n_epoch=2)
+    assert tc._restarts == 0
+    assert tc.current_lr() == pytest.approx(1e-3)
+    best = jax.device_get(tc.state.params)
+
+    # Inject the spike: absurd targets make the epoch-mean loss explode.
+    spiked = [b._replace(hr=(1e4 * b.hr).astype(np.float32)) for b in batches]
+    tc.train_network(_ListDataset(spiked), val, n_epoch=1)
+
+    assert tc._restarts == 1
+    assert tc.current_lr() == pytest.approx(5e-4)  # halved, no retrace
+    restored = jax.device_get(tc.state.params)
+    for lb, lr_ in zip(jax.tree_util.tree_leaves(best),
+                       jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(lb, lr_)
+    # The spiked epoch must not have been saved as a new best.
+    with open(os.path.join(tc.model_dir, "loss.csv")) as f:
+        assert "spike(" in f.read()
+
+    # Restarts are capped: past max_restarts spikes are logged, not acted on.
+    tc.max_restarts = 1
+    tc.train_network(_ListDataset(spiked), val, n_epoch=1)
+    assert tc.current_lr() == pytest.approx(5e-4)  # unchanged
+
+
+def test_metric_fetch_cadence_is_epoch_exact(tmp_path):
+    """metric_fetch_every>1 accumulates metric sums on device; epoch
+    totals must match the per-batch cadence (up to f32 summation order)."""
+    batches = [_random_batch(b=4, seed=i) for i in range(5)]
+    results = {}
+    for k in (1, 4):
+        tc = _tiny_controller(tmp_path / f"k{k}", make_mesh(jax.devices()[:1]),
+                              seed=0, metric_fetch_every=k)
+        tc.run_train_epoch(batches)
+        results[k] = tc.loss_metrics.results()
+    for name in results[1]:
+        assert results[1][name] == pytest.approx(results[4][name], rel=1e-5, abs=1e-9), name
+
+
+def test_residual_skip_init_is_trilinear_and_h5_roundtrip(tmp_path):
+    """residual_skip: the untrained network must equal the align-corners
+    trilinear upsample of its velocity input exactly (zero-init final
+    heads + input skip), the flag must ride the exported .h5's attrs, and
+    a VolumePredictor constructed WITHOUT the flag must pick it up from
+    the file and reproduce the trainer's forward."""
+    from flownet4d_tpu.models import SR4DFlowNet, SR4DFlowNetConfig
+    from flownet4d_tpu.ops.upsample import upsample3d
+    from flownet4d_tpu.training import checkpoint as ckpt
+    from flownet4d_tpu.inference import VolumePredictor
+
+    cfg = SR4DFlowNetConfig(res_increase=2, low_resblock=1, hi_resblock=1,
+                            channels=16, residual_skip=True)
+    model = SR4DFlowNet(cfg)
+    rng = np.random.default_rng(0)
+    vel = jnp.asarray(rng.uniform(-1, 1, (2, 6, 6, 6, 3)).astype(np.float32))
+    mag = jnp.asarray(rng.uniform(0, 1, (2, 6, 6, 6, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3), vel, mag)["params"]
+    out = model.apply({"params": params}, vel, mag)
+    base = upsample3d(vel, 2, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-7)
+
+    # Train one step so the correction is nonzero, export, reload blind.
+    mesh1 = make_mesh(jax.devices()[:1])
+    tc = _tiny_controller(tmp_path, mesh1, residual_skip=True)
+    tc.model_dir = str(tmp_path / "run")
+    tc.model_path = str(tmp_path / "run" / "tiny")
+    os.makedirs(tc.model_dir, exist_ok=True)
+    batch = _random_batch(b=4, seed=2)
+    tc.train_step(batch)
+    tc.save_best_model()
+
+    attrs = ckpt.read_h5_model_attrs(f"{tc.model_path}-best.h5")
+    assert attrs["residual_skip"] == 1
+    assert attrs["low_resblock"] == 1 and attrs["hi_resblock"] == 1
+
+    pred = VolumePredictor(8, 2, 4, 8, 4, mesh=mesh1, channels=16)
+    assert not pred.config.residual_skip
+    pred.load_weights(f"{tc.model_path}-best.h5")
+    assert pred.config.residual_skip  # rebuilt from the file's attrs
+    assert pred.config.low_resblock == 1
+    want = np.asarray(tc.model.apply(
+        {"params": jax.device_get(tc.state.params)},
+        jnp.asarray(batch.lr[:1]), jnp.asarray(batch.mag[:1])))
+    got = np.asarray(pred.model.apply(
+        {"params": jax.device_get(pred.params)},
+        jnp.asarray(batch.lr[:1]), jnp.asarray(batch.mag[:1])))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_warmup_schedule_composes_with_constant_and_cosine():
+    """build_lr_schedule: warmup must ramp 0 -> peak for BOTH schedule
+    kinds (ADVICE r4: it used to be silently ignored for constant)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from trainer import build_lr_schedule
+
+    peak = 1e-3
+    const = build_lr_schedule("constant", peak, 1e-6, 10, 100)
+    assert const is not None
+    assert float(const(0)) == pytest.approx(0.0)
+    assert float(const(5)) == pytest.approx(peak / 2)
+    assert float(const(10)) == pytest.approx(peak)
+    assert float(const(99)) == pytest.approx(peak)  # constant after ramp
+
+    cos = build_lr_schedule("cosine", peak, 1e-6, 10, 100)
+    assert float(cos(0)) == pytest.approx(0.0)
+    assert float(cos(10)) == pytest.approx(peak)
+    assert float(cos(100)) == pytest.approx(1e-6, rel=1e-2)
+
+    assert build_lr_schedule("constant", peak, 1e-6, 0, 100) is None

@@ -49,6 +49,41 @@ def load_config_file(path: str, parser: argparse.ArgumentParser) -> dict:
     return cfg
 
 
+def build_lr_schedule(kind: str, peak: float, final: float,
+                      warmup_steps: int, total_steps: int):
+    """Optional optax schedule for the trainer.
+
+    Linear 0 -> peak warmup composes with EITHER schedule kind (ADVICE r4:
+    --warmup-steps used to be silently ignored without --lr-schedule
+    cosine): fresh Adam calibrates v_hat before full-size steps — the
+    round-3/4 post-mortem fix for near-init / just-restored ejections
+    (docs/training.md). Returns None for plain constant lr (the
+    reference's behaviour, TrainerController.py:280)."""
+    if kind == "cosine":
+        import optax
+
+        if warmup_steps > 0:
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=peak,
+                warmup_steps=warmup_steps,
+                decay_steps=total_steps,
+                end_value=final,
+            )
+        return optax.cosine_decay_schedule(
+            peak, decay_steps=total_steps, alpha=final / peak,
+        )
+    if warmup_steps > 0:
+        import optax
+
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup_steps),
+             optax.constant_schedule(peak)],
+            boundaries=[warmup_steps],
+        )
+    return None
+
+
 def main():
     from flownet4d_tpu.utils.cache import enable_compilation_cache
 
@@ -147,9 +182,30 @@ def main():
                         "small/augmented cohorts where Adam hits "
                         "edge-of-stability oscillation — docs/training.md)")
     p.add_argument("--warmup-steps", type=int, default=0,
-                   help="linear lr warmup steps ahead of the cosine decay "
-                        "(only with --lr-schedule cosine); calibrates fresh "
-                        "Adam state before full-size steps (docs/training.md)")
+                   help="linear lr warmup steps ahead of the main schedule "
+                        "(works with both constant and cosine); calibrates "
+                        "fresh Adam state before full-size steps — the "
+                        "round-4 ejections all happened near init/restore "
+                        "where curvature is largest (docs/training.md)")
+    p.add_argument("--restart-on-spike", type=float, default=None,
+                   metavar="FACTOR",
+                   help="if an epoch's mean train loss exceeds FACTOR x the "
+                        "best epoch mean (or goes non-finite), reload the "
+                        "best checkpoint and continue at half the learning "
+                        "rate (edge-of-stability ejection recovery, "
+                        "docs/training.md; suggested FACTOR ~10)")
+    p.add_argument("--max-restarts", type=int, default=3,
+                   help="cap on --restart-on-spike restarts per run")
+    p.add_argument("--residual-skip", action="store_true",
+                   help="heads predict a correction on top of the trilinear "
+                        "upsample of the input, with zero-init final "
+                        "kernels — the untrained net equals the "
+                        "interpolation baseline (extension over the "
+                        "reference; stored in the exported .h5 attrs)")
+    p.add_argument("--metric-fetch-every", type=int, default=8,
+                   help="train-loop metric readback cadence in batches "
+                        "(metrics accumulate on device between fetches; "
+                        "1 = per-batch reference behaviour)")
     p.add_argument("--rel-loss-weight", type=float, default=0.0,
                    help="weight of the smooth relative-speed-error loss "
                         "term (ops/losses.py::relative_error_loss). The "
@@ -197,30 +253,9 @@ def main():
                          args.batch_size, args.mask_threshold)
         testset = ph.initialize_dataset(load_indexes(benchmark_file), shuffle=False)
 
-    lr_schedule = None
-    if args.lr_schedule == "cosine":
-        import optax
-
-        steps_per_epoch = max(1, len(trainset))
-        total = max(1, args.epochs * steps_per_epoch)
-        if args.warmup_steps > 0:
-            # Linear 0 -> peak warmup ahead of the cosine: lets fresh Adam
-            # calibrate v_hat before full-size steps — the round-3/4
-            # post-mortem fix for near-init / just-restored ejections
-            # (docs/training.md).
-            lr_schedule = optax.warmup_cosine_decay_schedule(
-                init_value=0.0,
-                peak_value=args.initial_learning_rate,
-                warmup_steps=args.warmup_steps,
-                decay_steps=total,
-                end_value=args.lr_final,
-            )
-        else:
-            lr_schedule = optax.cosine_decay_schedule(
-                args.initial_learning_rate,
-                decay_steps=total,
-                alpha=args.lr_final / args.initial_learning_rate,
-            )
+    lr_schedule = build_lr_schedule(
+        args.lr_schedule, args.initial_learning_rate, args.lr_final,
+        args.warmup_steps, max(1, args.epochs * max(1, len(trainset))))
 
     print(f"4DFlowNet Patch {args.patch_size}, lr {args.initial_learning_rate}, "
           f"batch {args.batch_size}")
@@ -249,6 +284,10 @@ def main():
         ema_decay=args.ema_decay,
         rel_loss_weight=args.rel_loss_weight,
         rel_loss_eps=args.rel_loss_eps,
+        residual_skip=args.residual_skip,
+        metric_fetch_every=args.metric_fetch_every,
+        spike_factor=args.restart_on_spike,
+        max_restarts=args.max_restarts,
     )
     if args.resume:
         network.resume_from(args.resume)
