@@ -12,7 +12,7 @@ all three numbers (VERDICT round-1 item 4). Diagnostics go to stderr.
 
 Env knobs: BENCH_MODE=inference (inference-only headline) or e2e
 (real-loader training headline), BENCH_DTYPE, BENCH_BATCH, BENCH_STEPS,
-BENCH_REMAT, BENCH_FAST_DGRAD, BENCH_LANE_PACK, BENCH_EXTRAS=0 (skip the
+BENCH_REMAT, BENCH_VOLUME, BENCH_EXTRAS=0 (skip the
 e2e/f32/inference extras).
 """
 
@@ -145,8 +145,6 @@ def measure_train(dtype_name: str, max_windows: int = 3) -> tuple[float, list]:
         patch, res, 2e-4, False, "bench", low_rb, hi_rb,
         compute_dtype=compute_dtype, models_dir="/tmp/bench_models",
         remat=remat,
-        fast_dgrad=os.environ.get("BENCH_FAST_DGRAD", "0") == "1",
-        lane_pack=os.environ.get("BENCH_LANE_PACK", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

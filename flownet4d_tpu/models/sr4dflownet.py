@@ -75,18 +75,11 @@ class SR4DFlowNetConfig:
     # body N times per loop iteration, trading a little compile time for
     # less per-iteration loop overhead.
     scan_unroll: int = 1
-    # Spell the bulk SAME conv's input-gradient as a forward-form conv
-    # (flipped/transposed kernel) via custom VJP, flipping XLA's dgrad
-    # emitter from EmitOutputBatchInSublanes (46.6 TF/s) to the fast
-    # forward emitters (~85 TF/s) on the resblock shapes. Identical math.
-    fast_dgrad: bool = False
-    # MXU lane packing: run the whole network on pairs of samples packed
-    # side-by-side in the channel dim ((B,..,64) -> (B/2,..,128)) via
-    # grouped convs with tied kernels, filling all 128 MXU lanes instead
-    # of half (ops/conv.py groups; on-chip payoff: scripts/ab_lanes.py).
-    # Identical per-sample math and an unchanged param tree; requires an
-    # even batch (falls back to dense when B is odd or 1).
-    lane_pack: bool = False
+    # Two further emitter-steering flags were built, A/B'd on chip and
+    # deleted per the keep-or-delete rule (docs/performance.md round 4/5):
+    # fast_dgrad (forward-form input-gradient convs, x0.998 — a wash) and
+    # lane_pack (2-sample MXU lane packing via grouped convs, x0.502 — a
+    # decisive loss). Recover either with `git log -S fast_dgrad`.
     # Residual-from-trilinear output (EXTENSION over the reference): the
     # heads predict a *correction* added to the align-corners trilinear
     # upsample of the input velocities, and the final head kernels are
@@ -121,22 +114,15 @@ class Conv3D(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_boundary: bool = True
-    fast_dgrad: bool = False
-    # Lane packing: x carries `groups` samples side-by-side in the channel
-    # dim. Params keep their *logical* (per-sample) shapes; the kernel and
-    # bias are tied across groups at call time, so the param tree is
-    # byte-identical to the dense path.
-    groups: int = 1
     kernel_init: Any = None  # default glorot_uniform (Keras Conv3D default)
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        g = self.groups
         kernel = self.param(
             "kernel",
             self.kernel_init or nn.initializers.glorot_uniform(),
-            (k, k, k, x.shape[-1] // g, self.features),
+            (k, k, k, x.shape[-1], self.features),
             jnp.float32,
         )
         bias = (
@@ -144,20 +130,13 @@ class Conv3D(nn.Module):
             if self.use_bias
             else None
         )
-        kernel = kernel.astype(self.dtype)
-        if g > 1:
-            kernel = jnp.concatenate([kernel] * g, axis=-1)
-            if bias is not None:
-                bias = jnp.concatenate([bias] * g)
         return conv3d_symmetric_pad(
             x.astype(self.dtype),
-            kernel,
+            kernel.astype(self.dtype),
             bias,
             padding=self.padding,
             precision=self.precision,
             fused_boundary=self.fused_boundary,
-            fast_dgrad=self.fast_dgrad,
-            groups=g,
         )
 
 
@@ -196,19 +175,17 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_boundary: bool = True
-    fast_dgrad: bool = False
-    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision, fast_dgrad=self.fast_dgrad,
-                     fused_boundary=self.fused_boundary, groups=self.groups,
+                     precision=self.precision,
+                     fused_boundary=self.fused_boundary,
                      name="conv1")(x)
         tmp = leaky_relu(tmp, 0.2)
         tmp = Conv3D(self.channels, 3, use_bias=False, dtype=self.dtype,
-                     precision=self.precision, fast_dgrad=self.fast_dgrad,
-                     fused_boundary=self.fused_boundary, groups=self.groups,
+                     precision=self.precision,
+                     fused_boundary=self.fused_boundary,
                      name="conv2")(tmp)
         return leaky_relu(x + tmp, 0.2)
 
@@ -250,7 +227,6 @@ class SR4DFlowNet(nn.Module):
         dt = cfg.dtype
         prec = cfg.resolved_precision()
         fb = cfg.fused_boundary
-        fd = cfg.fast_dgrad
         # Zero-init the final (1-channel) head kernels under residual_skip
         # so the untrained output IS the trilinear baseline.
         head2_init = nn.initializers.zeros if cfg.residual_skip else None
@@ -259,56 +235,23 @@ class SR4DFlowNet(nn.Module):
         velocity = velocity.astype(dt)
         magnitude = magnitude.astype(dt)
 
-        # MXU lane packing: pairs of samples ride side-by-side in the
-        # channel dim through the whole conv stack (grouped convs with
-        # kernels tied across groups — identical per-sample math).
-        g = 2 if (cfg.lane_pack and velocity.shape[0] % 2 == 0
-                  and velocity.shape[0] >= 2) else 1
-
-        def pack(t):
-            """(B, ..., C) -> (B/g, ..., g*C), sample i in channel chunk i%g."""
-            if g == 1:
-                return t
-            return jnp.concatenate([t[i::g] for i in range(g)], axis=-1)
-
-        def unpack(t):
-            """Inverse of pack (restores original sample order)."""
-            if g == 1:
-                return t
-            cg = t.shape[-1] // g
-            chunks = [t[..., i * cg:(i + 1) * cg] for i in range(g)]
-            stacked = jnp.stack(chunks, axis=1)
-            return stacked.reshape((t.shape[0] * g,) + t.shape[1:-1] + (cg,))
-
-        def gcat(parts):
-            """Channel concat that keeps per-group chunks contiguous."""
-            if g == 1:
-                return jnp.concatenate(parts, axis=-1)
-            per = [[p[..., i * (p.shape[-1] // g):(i + 1) * (p.shape[-1] // g)]
-                    for p in parts] for i in range(g)]
-            return jnp.concatenate([q for grp in per for q in grp], axis=-1)
-
-        def tie(k):
-            """Tie a per-sample kernel/bias across the g groups (out axis)."""
-            return k if g == 1 else jnp.concatenate([k] * g, axis=-1)
-
         # Derived "pc" features (SR4DFlowNet.py:10-15).
         speed = jnp.sqrt(jnp.sum(velocity * velocity, axis=-1, keepdims=True))
         mag = jnp.sqrt(jnp.sum(magnitude * magnitude, axis=-1, keepdims=True))
         pcmr = mag * speed
 
-        phase = pack(velocity)
-        pc = pack(jnp.concatenate([pcmr, mag, speed], axis=-1))
+        phase = velocity
+        pc = jnp.concatenate([pcmr, mag, speed], axis=-1)
 
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="pc1")(pc))
-        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="pc2")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc1")(pc))
+        pc = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="pc2")(pc))
 
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="phase1")(phase))
-        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="phase2")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase1")(phase))
+        phase = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="phase2")(phase))
 
-        x = gcat([phase, pc])
-        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="fuse1")(x))
-        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name="fuse2")(x))
+        x = jnp.concatenate([phase, pc], axis=-1)
+        x = nn.relu(Conv3D(c, 1, dtype=dt, precision=prec, fused_boundary=fb, name="fuse1")(x))
+        x = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name="fuse2")(x))
 
         def stack_remat(prefix: str) -> bool:
             r = cfg.remat_blocks
@@ -330,23 +273,21 @@ class SR4DFlowNet(nn.Module):
             block = nn.remat(ResBlock) if stack_remat(prefix) else ResBlock
             if not cfg.scan_blocks or n <= 1:
                 for i in range(n):
-                    h = block(c, dtype=dt, precision=prec, fast_dgrad=fd,
-                              fused_boundary=fb, groups=g,
+                    h = block(c, dtype=dt, precision=prec,
+                              fused_boundary=fb,
                               name=f"{prefix}_{i}")(h)
                 return h
             pairs = [_ResBlockKernels(c, name=f"{prefix}_{i}")() for i in range(n)]
-            k1s = tie(jnp.stack([p[0] for p in pairs]).astype(dt))
-            k2s = tie(jnp.stack([p[1] for p in pairs]).astype(dt))
+            k1s = jnp.stack([p[0] for p in pairs]).astype(dt)
+            k2s = jnp.stack([p[1] for p in pairs]).astype(dt)
 
             def body(carry, kk):
                 k1, k2 = kk
                 t = conv3d_symmetric_pad(carry, k1, None, precision=prec,
-                                         fused_boundary=fb, fast_dgrad=fd,
-                                         groups=g)
+                                         fused_boundary=fb)
                 t = leaky_relu(t, 0.2)
                 t = conv3d_symmetric_pad(t, k2, None, precision=prec,
-                                         fused_boundary=fb, fast_dgrad=fd,
-                                         groups=g)
+                                         fused_boundary=fb)
                 return leaky_relu(carry + t, 0.2), None
 
             if stack_remat(prefix):
@@ -372,32 +313,30 @@ class SR4DFlowNet(nn.Module):
                 k2, b2 = _ConvParams(1, c, kernel_init=head2_init,
                                      name=f"{comp}_head2")()
                 k1s.append(k1), b1s.append(b1), k2s.append(k2), b2s.append(b2)
-            K1 = tie(jnp.concatenate(k1s, axis=-1).astype(dt))  # (3,3,3,c,g*3c)
-            B1 = tie(jnp.concatenate(b1s))
+            K1 = jnp.concatenate(k1s, axis=-1).astype(dt)  # (3,3,3,c,3c)
+            B1 = jnp.concatenate(b1s)
             h = nn.relu(conv3d_symmetric_pad(
-                x.astype(dt), K1, B1, precision=prec, fused_boundary=fb,
-                fast_dgrad=fd, groups=g))
+                x.astype(dt), K1, B1, precision=prec, fused_boundary=fb))
             z = jnp.zeros_like(k2s[0])
-            K2 = tie(jnp.concatenate(
+            K2 = jnp.concatenate(
                 [
                     jnp.concatenate([k2s[0], z, z], axis=-1),
                     jnp.concatenate([z, k2s[1], z], axis=-1),
                     jnp.concatenate([z, z, k2s[2]], axis=-1),
                 ],
                 axis=3,
-            ).astype(dt))  # (3,3,3,3c,g*3) block-diagonal per group
-            B2 = tie(jnp.concatenate(b2s))
+            ).astype(dt)  # (3,3,3,3c,3) block-diagonal
+            B2 = jnp.concatenate(b2s)
             out = conv3d_symmetric_pad(
-                h, K2, B2, precision=prec, fused_boundary=fb,
-                fast_dgrad=fd, groups=g)  # linear output
+                h, K2, B2, precision=prec, fused_boundary=fb)  # linear output
         else:
             heads = []
             for comp in ("u", "v", "w"):
-                h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, name=f"{comp}_head1")(x))
-                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, fast_dgrad=fd, groups=g, kernel_init=head2_init, name=f"{comp}_head2")(h)  # linear output
+                h = nn.relu(Conv3D(c, 3, dtype=dt, precision=prec, fused_boundary=fb, name=f"{comp}_head1")(x))
+                h = Conv3D(1, 3, dtype=dt, precision=prec, fused_boundary=fb, kernel_init=head2_init, name=f"{comp}_head2")(h)  # linear output
                 heads.append(h)
-            out = gcat(heads)
-        out = unpack(out).astype(jnp.float32)
+            out = jnp.concatenate(heads, axis=-1)
+        out = out.astype(jnp.float32)
         if cfg.residual_skip:
             # Heads predict a correction on top of the align-corners
             # trilinear upsample of the input velocities (f32, HIGHEST —

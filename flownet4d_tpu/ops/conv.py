@@ -54,56 +54,8 @@ def _conv_same(x, kernel, precision, groups: int = 1):
     )
 
 
-def _grouped_dgrad_kernel(kernel: jax.Array, groups: int) -> jax.Array:
-    """Kernel for spelling a grouped conv's input-gradient as a forward
-    grouped conv: per group, flip spatially and swap in/out channels.
-
-    kernel: (kd, kh, kw, Cin/g, Cout) with output channels laid out in g
-    contiguous group chunks (lax grouped-conv convention). Returns
-    (kd, kh, kw, Cout/g, Cin)."""
-    kd, kh, kw, ci_g, co = kernel.shape
-    co_g = co // groups
-    k = jnp.flip(kernel, axis=(0, 1, 2))
-    k = k.reshape(kd, kh, kw, ci_g, groups, co_g)
-    k = k.transpose(0, 1, 2, 5, 4, 3)  # (.., Co_g, g, Ci_g)
-    return k.reshape(kd, kh, kw, co_g, groups * ci_g)
-
-
-def _conv_same_fast_dgrad(x, kernel, precision, groups: int = 1):
-    """SAME conv whose input-gradient is spelled as a *forward-form* conv.
-
-    XLA's native transpose of a SAME conv emits the data-gradient with the
-    ``EmitOutputBatchInSublanes`` emitter (46.6 TF/s on v5e for the 48^3
-    x64 resblock shapes — the slowest conv population in the round-2
-    profile), while forward-shaped convs of the same shape get
-    ``EmitAllBatchInSublanes`` (85 TF/s). For a stride-1, pad-(1,1), k=3
-    conv the input gradient is EXACTLY a SAME conv of the cotangent with
-    the spatially flipped, channel-transposed kernel — so write it that
-    way and let the fast emitter handle it. The weight gradient stays on
-    XLA's native transpose (it already runs at 85 TF/s).
-    """
-
-    @jax.custom_vjp
-    def f(x, k):
-        return _conv_same(x, k, precision, groups)
-
-    def fwd(x, k):
-        return _conv_same(x, k, precision, groups), (x, k)
-
-    def bwd(res, g):
-        xr, k = res
-        k_rev = _grouped_dgrad_kernel(k, groups)
-        dx = _conv_same(g, k_rev, precision, groups)
-        _, vjp_k = jax.vjp(lambda kk: _conv_same(xr, kk, precision, groups), k)
-        (dk,) = vjp_k(g)
-        return dx, dk
-
-    f.defvjp(fwd, bwd)
-    return f(x, kernel)
-
-
 def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision,
-                  fast_dgrad: bool = False, groups: int = 1) -> jax.Array:
+                  groups: int = 1) -> jax.Array:
     """Symmetric-pad(1) + VALID k=3 conv without materialising the pad.
 
     For pad width 1, TF ``SYMMETRIC`` padding equals edge-replicate (clamp)
@@ -151,8 +103,11 @@ def _clamp_conv3d(x: jax.Array, kernel: jax.Array, precision,
             feature_group_count=groups,
         )
 
-    bulk = _conv_same_fast_dgrad if fast_dgrad else _conv_same
-    y = bulk(x, kernel, precision, groups)
+    # Two emitter-steering rewrites of this bulk conv were A/B'd on chip
+    # and rejected (docs/performance.md): a custom-VJP forward-form input
+    # gradient ("fast_dgrad", x0.998 — a wash) and 2-sample MXU lane
+    # packing via grouped convs ("lane_pack", x0.502 — a decisive loss).
+    y = _conv_same(x, kernel, precision, groups)
 
     corrections = []
     for ax in range(3):  # spatial axis: 0=z(dim1), 1=y(dim2), 2=x(dim3)
@@ -228,7 +183,6 @@ def conv3d_symmetric_pad(
     padding: str = "SYMMETRIC",
     precision=None,
     fused_boundary: bool = True,
-    fast_dgrad: bool = False,
     groups: int = 1,
 ) -> jax.Array:
     """3D convolution with reference-equivalent padding semantics.
@@ -240,10 +194,7 @@ def conv3d_symmetric_pad(
     bias : optional (Cout,) bias.
     padding : 'SYMMETRIC' | 'REFLECT' | 'SAME' | 'VALID' — mirrors the
         reference conv3d options (SR4DFlowNet.py:101-107).
-    groups : feature_group_count. With tied per-group kernels this packs
-        pairs of samples side-by-side in the channel dim so 64-channel
-        convs fill all 128 MXU lanes (scripts/ab_lanes.py) — identical
-        per-sample math.
+    groups : feature_group_count (grouped convolution).
     """
     k = kernel.shape[0]
     p = (k - 1) // 2
@@ -253,7 +204,7 @@ def conv3d_symmetric_pad(
             and k == 3
             and all(n >= 2 for n in x.shape[1:4])
         ):
-            y = _clamp_conv3d(x, kernel, precision, fast_dgrad, groups)
+            y = _clamp_conv3d(x, kernel, precision, groups)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y

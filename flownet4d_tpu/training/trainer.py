@@ -103,12 +103,6 @@ class TrainerController:
         #   activation bytes per block at res x2) | 'low'.
         fused_boundary: bool = True,  # boundary-corrected SAME convs instead
         #   of materialised symmetric pads (ops/conv.py::_clamp_conv3d)
-        fast_dgrad: bool = False,  # forward-form input-gradient convs
-        #   (ops/conv.py::_conv_same_fast_dgrad)
-        lane_pack: bool = False,  # pack sample pairs into the channel dim
-        #   via grouped convs with tied kernels so 64-channel convs fill
-        #   all 128 MXU lanes (SR4DFlowNetConfig.lane_pack; identical math,
-        #   unchanged param tree; measured by scripts/ab_lanes.py)
         precision: str | None = None,  # MXU precision override: 'default'
         #   (1-pass bf16), 'high' (3-pass bf16x3), 'highest' (6-pass, the
         #   f32 parity mode). None = auto (highest for f32, default for
@@ -229,8 +223,6 @@ class TrainerController:
             remat_blocks=remat,
             fused_boundary=fused_boundary,
             precision=prec,
-            fast_dgrad=fast_dgrad,
-            lane_pack=lane_pack,
             residual_skip=residual_skip,
         )
         self.model = SR4DFlowNet(self.config)

@@ -28,6 +28,15 @@ TAG=${1:-r5}
 AUG=/tmp/aug_data
 EPOCHS=${EPOCHS:-60}
 TRAIN_BUDGET=${TRAIN_BUDGET:-5400}
+# lr 1e-3 is the reference-actual regime (legacy keras drops the lr kwarg,
+# docs/training.md); the trilinear floor + best-on-val/EMA harvesting +
+# restart-on-spike (which halves lr on each ejection, i.e. self-anneals)
+# make the aggressive start safe. The r5 first attempt at 1e-4 showed the
+# zero-init residual head needs a large lr to unblock the body: 19 epochs
+# parked at the trilinear-identity plateau (loss 0.3256).
+LR=${LR:-1e-3}
+WARMUP=${WARMUP:-520}
+RESTARTS=${RESTARTS:-4}
 
 if [ ! -f "$AUG/train_aug.csv" ]; then
   echo "=== building augmented cohort at $AUG"
@@ -54,8 +63,8 @@ timeout -s TERM -k 120 "$TRAIN_BUDGET" python trainer.py \
   --models-dir demo/r5 \
   --patch-size 16 --res-increase 2 --batch-size 20 \
   --low-resblock 8 --hi-resblock 4 \
-  --initial-learning-rate 1e-4 --epochs "$EPOCHS" \
-  --warmup-steps 260 --restart-on-spike 10 --max-restarts 3 \
+  --initial-learning-rate "$LR" --epochs "$EPOCHS" \
+  --warmup-steps "$WARMUP" --restart-on-spike 10 --max-restarts "$RESTARTS" \
   --ema-decay 0.999 --clip-norm 1.0 \
   --rel-loss-weight 1.0 --rel-loss-eps 0.05 \
   --residual-skip --latest-every 5 \

@@ -55,33 +55,6 @@ def test_gradients_match_explicit_pad(shape):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
 
 
-@pytest.mark.parametrize("shape", [(2, 4, 5, 6, 3), (1, 2, 2, 2, 4)])
-def test_fast_dgrad_gradients_match(shape):
-    """fast_dgrad spells the bulk conv's input-gradient as a forward-form
-    conv (flipped/transposed kernel, ops/conv.py::_conv_same_fast_dgrad);
-    it must be numerically identical math — forward, dx and dk — to the
-    native-VJP fused path."""
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=shape).astype("float32"))
-    k = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], 5)).astype("float32"))
-
-    def loss(fast):
-        return lambda x, k: jnp.sum(
-            jnp.sin(conv3d_symmetric_pad(
-                x, k, None, fused_boundary=True, fast_dgrad=fast,
-                precision=HP))
-        )
-
-    y_ref = conv3d_symmetric_pad(x, k, None, fused_boundary=True, precision=HP)
-    y_new = conv3d_symmetric_pad(x, k, None, fused_boundary=True,
-                                 fast_dgrad=True, precision=HP)
-    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_new),
-                               rtol=1e-6, atol=1e-6)
-    g_ref = jax.grad(loss(False), argnums=(0, 1))(x, k)
-    g_new = jax.grad(loss(True), argnums=(0, 1))(x, k)
-    for a, b in zip(g_ref, g_new):
-        scale = float(jnp.max(jnp.abs(a))) + 1e-6
-        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
 
 
 def test_fallback_on_tiny_axis():

@@ -1,10 +1,11 @@
-"""Grouped (lane-packed) convs: per-sample math identical to dense convs.
+"""Grouped convs: per-sample math identical to dense convs.
 
 ``conv3d_symmetric_pad(groups=2)`` with a tied per-group kernel and two
 samples packed side-by-side in the channel dim must reproduce the dense
 per-sample conv exactly — forward and gradients, fused-boundary and
-explicit-pad, native VJP and fast_dgrad (scripts/ab_lanes.py measures the
-MXU-lane payoff of this packing on chip).
+explicit-pad. (The model-level lane_pack flag built on this lost its
+on-chip A/B x0.502 and was deleted — docs/performance.md; the grouped
+primitive itself stays, exercised here.)
 """
 
 import jax
@@ -35,38 +36,38 @@ def _mk(shape, cout, seed=0):
 
 
 @pytest.mark.parametrize("fused", [True, False])
-@pytest.mark.parametrize("fast_dgrad", [False, True])
-def test_grouped_tied_forward_matches_dense(fused, fast_dgrad):
+def test_grouped_tied_forward_matches_dense(fused):
     x, k = _mk((4, 4, 5, 6, 3), 5)
-    dense = conv3d_symmetric_pad(x, k, fused_boundary=fused,
-                                 fast_dgrad=fast_dgrad, precision=HP)
+    dense = conv3d_symmetric_pad(x, k, fused_boundary=fused, precision=HP)
     kg = jnp.concatenate([k, k], axis=-1)  # tied groups -> (3,3,3,3,10)
     packed = conv3d_symmetric_pad(_pack(x), kg, fused_boundary=fused,
-                                  fast_dgrad=fast_dgrad, precision=HP,
-                                  groups=2)
+                                  precision=HP, groups=2)
     np.testing.assert_allclose(np.asarray(_unpack(packed, 5)),
                                np.asarray(dense), rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("fused", [True, False])
-def test_grouped_fast_dgrad_gradients_match_native(fused):
-    """fast_dgrad's hand-written grouped input-gradient == XLA's native VJP."""
+def test_grouped_gradients_match_unpacked(fused):
+    """Packed grouped conv's gradients == the dense per-sample conv's."""
     x, k = _mk((2, 4, 5, 6, 4), 6, seed=1)
     xp, kg = _pack(x), jnp.concatenate([k, k], axis=-1)
 
-    def loss(fd):
-        def f(xi, ki):
-            y = conv3d_symmetric_pad(xi, ki, fused_boundary=fused,
-                                     fast_dgrad=fd, precision=HP, groups=2)
-            return jnp.sum(jnp.sin(y))
-        return f
+    def dense_loss(xi, ki):
+        y = conv3d_symmetric_pad(xi, ki, fused_boundary=fused, precision=HP)
+        return jnp.sum(jnp.sin(y))
 
-    gx_n, gk_n = jax.grad(loss(False), argnums=(0, 1))(xp, kg)
-    gx_f, gk_f = jax.grad(loss(True), argnums=(0, 1))(xp, kg)
-    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+    def packed_loss(xi, ki):
+        y = conv3d_symmetric_pad(xi, ki, fused_boundary=fused,
+                                 precision=HP, groups=2)
+        return jnp.sum(jnp.sin(y))
+
+    gx_d, gk_d = jax.grad(dense_loss, argnums=(0, 1))(x, k)
+    gx_p, gk_p = jax.grad(packed_loss, argnums=(0, 1))(xp, kg)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(_pack(gx_d)),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
-                               rtol=1e-5, atol=1e-5)
+    # Tied kernel: each group slot's grad is that sample subset's dk.
+    np.testing.assert_allclose(np.asarray(gk_p[..., :6] + gk_p[..., 6:]),
+                               np.asarray(gk_d), rtol=1e-5, atol=1e-5)
 
 
 def test_grouped_tied_kernel_grad_equals_dense():

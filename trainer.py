@@ -145,9 +145,6 @@ def main():
     p.add_argument("--no-fused-boundary", action="store_true",
                    help="use explicit symmetric pads instead of the "
                         "boundary-corrected SAME convs")
-    p.add_argument("--fast-dgrad", action="store_true",
-                   help="forward-form input-gradient convs (identical math; "
-                        "steers XLA's dgrad emitter, ops/conv.py)")
     p.add_argument("--div-weight", type=float, default=0.0,
                    help="divergence loss weight (dormant in the reference)")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
@@ -273,7 +270,6 @@ def main():
         remat=args.remat,
         remat_scope=args.remat_scope,
         fused_boundary=not args.no_fused_boundary,
-        fast_dgrad=args.fast_dgrad,
         precision=args.precision,
         div_weight=args.div_weight,
         profile_dir=args.profile_dir,
